@@ -1,0 +1,71 @@
+"""Crawl-ordering + URL-seen parity vs the pure-Python reference simulator,
+and exact resume-from-checkpoint (SURVEY §5 tiers 4-5)."""
+
+import shutil
+
+import pytest
+
+from warcbase_spark.frontier.crawl import FrontierCrawl
+from warcbase_spark.frontier.simulator import simulate
+
+STATE = "/tmp/warcbase_spark_testfix/crawlstate"
+STATE_RESUME = "/tmp/warcbase_spark_testfix/crawlstate_resume"
+
+
+@pytest.fixture(scope="module")
+def sim(corpus):
+    return simulate(corpus, max_rounds=50)
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, corpus_dir):
+    shutil.rmtree(STATE, ignore_errors=True)
+    fc = FrontierCrawl(spark, corpus_dir, STATE, max_rounds=50)
+    fc.run()
+    return fc
+
+
+def test_schedule_parity(crawl, sim):
+    got = sorted(
+        (r["round"], r["seq"], r["url_key"], r["host"], r["priority"])
+        for r in crawl.schedule().collect()
+    )
+    assert got == sorted(sim.schedule)
+
+
+def test_url_seen_parity(crawl, sim):
+    got = {r["url_key"]: r["first_round"] for r in crawl.url_seen().collect()}
+    assert got == sim.seen
+
+
+def test_metrics_parity(crawl, sim):
+    keys = ["scheduled", "spilled", "records", "html_pages", "links",
+            "dedup_hits", "robots_blocked", "invalid_urls"]
+    got = {
+        r["round"]: {k: r[k] for k in keys}
+        for r in crawl.metrics().collect()
+    }
+    exp = {m["round"]: {k: m[k] for k in keys} for m in sim.metrics}
+    assert got == exp
+
+
+def test_resume_exactness(spark, corpus_dir, crawl, sim):
+    """Kill after round 2, resume, final state identical (byte-identical
+    seen set + schedule) — north rule's checkpoint requirement."""
+    shutil.rmtree(STATE_RESUME, ignore_errors=True)
+    fc1 = FrontierCrawl(spark, corpus_dir, STATE_RESUME, max_rounds=50)
+    fc1.bootstrap()
+    for r in range(3):
+        fc1.run_round(r)  # simulated crash after round 2
+    # fresh object = fresh process; bloom must rebuild from committed state
+    fc2 = FrontierCrawl(spark, corpus_dir, STATE_RESUME, max_rounds=50)
+    fc2.run()
+    got_sched = sorted(
+        (r["round"], r["seq"], r["url_key"]) for r in fc2.schedule().collect()
+    )
+    ref_sched = sorted(
+        (r["round"], r["seq"], r["url_key"]) for r in crawl.schedule().collect()
+    )
+    assert got_sched == ref_sched
+    got_seen = {r["url_key"]: r["first_round"] for r in fc2.url_seen().collect()}
+    assert got_seen == sim.seen

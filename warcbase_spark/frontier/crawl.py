@@ -1,0 +1,320 @@
+"""The frontier round loop — checkpointed, resumable, metric-instrumented.
+
+Replaces the reference's HBase-backed crawl-management layer
+(HBaseTableManager.java:85-100 row-at-a-time puts; IngestFiles.java:257-280
+sequential ingest loop; FST membership gate ExtractLinksWac.java:159). Each
+round is one deterministic micro-batch:
+
+    frontier_r --politeness window--> schedule_r        (+ spill, priority+1)
+    schedule_r --> seen += schedule_r                    (append-only delta)
+    schedule_r ⋈ documents --> fetched docs
+    fetched --explode link spans--> outlinks --canonicalize+hash-->
+      --robots--> --batch dedup--> --Bloom prefilter + exact anti-join vs seen-->
+      fresh candidates
+    frontier_{r+1} = merge(spill, fresh)
+
+Checkpoint protocol (Iceberg-snapshot semantics without the Iceberg jars,
+which this image lacks): every table written for round r goes to its own
+immutable ``<table>/round=r`` Parquet directory (append-only deltas for
+``seen``; full next-frontier snapshots), and the round is COMMITTED only by
+an atomic ``os.replace`` of ``manifest.json`` naming the last durable round.
+A crash between data writes and the manifest swap leaves a dangling
+uncommitted directory that the resumed run simply overwrites — exactly-once
+without trusting ``_SUCCESS`` markers (SURVEY §7.3).
+
+Metrics (counter parity with ExtractLinksWac.java:77-79,479-482 and
+IngestFiles.java:68-71,277) are persisted per round in ``metrics/``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from warcbase_spark.frontier.robots import apply_robots
+from warcbase_spark.functions.urls import host_of_key_udf, url_to_key_udf
+from warcbase_spark.operators.extract import extract_links
+from warcbase_spark.operators.scheduler import schedule_round
+from warcbase_spark.operators.seen import (
+    BloomParams,
+    ShardedBloom,
+    build_bloom,
+    dedup_against_seen,
+)
+
+
+def canonicalize_candidates(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """url → (url_key, host, url_hash); invalid URLs get null url_key.
+    Canonicalization is the Arrow-vectorized UDF; host + hash derive from
+    the key JVM-side/vectorized."""
+    out = df.withColumn("url_key", url_to_key_udf(F.col(url_col)))
+    return (
+        out.withColumn("host", host_of_key_udf(F.col("url_key")))
+        .withColumn("url_hash", F.xxhash64("url_key"))
+    )
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    records: int = 0
+    html_pages: int = 0
+    links: int = 0
+    dedup_hits: int = 0
+    bloom_hits: int = 0
+    scheduled: int = 0
+    spilled: int = 0
+    robots_blocked: int = 0
+    invalid_urls: int = 0
+
+
+class FrontierCrawl:
+    """Drives the crawl over a documents corpus directory
+    (documents/seeds/politeness/robots parquet, fixtures.py layout)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus_dir: str,
+        state_dir: str,
+        max_rounds: int = 100,
+        salt_k: int = 16,
+        use_bloom: bool = True,
+        bloom_fpp: float = 0.01,
+        bloom_shards: int = 32,
+    ) -> None:
+        self.spark = spark
+        self.corpus_dir = corpus_dir
+        self.state_dir = state_dir
+        self.max_rounds = max_rounds
+        self.salt_k = salt_k
+        self.use_bloom = use_bloom
+        self.bloom_fpp = bloom_fpp
+        self.bloom_shards = bloom_shards
+        self._bloom: ShardedBloom | None = None
+        os.makedirs(state_dir, exist_ok=True)
+
+        self.politeness = spark.read.parquet(f"{corpus_dir}/politeness.parquet")
+        self.robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+
+    # ---------------- state paths ----------------
+
+    def _p(self, table: str, rnd: int) -> str:
+        return f"{self.state_dir}/{table}/round={rnd:05d}"
+
+    @property
+    def _manifest_path(self) -> str:
+        return f"{self.state_dir}/manifest.json"
+
+    def _commit(self, rnd: int, frontier_rows: int) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_committed_round": rnd, "next_frontier_rows": frontier_rows}, f)
+        os.replace(tmp, self._manifest_path)  # the atomic commit point
+
+    def load_manifest(self) -> dict | None:
+        if not os.path.exists(self._manifest_path):
+            return None
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    # ---------------- derived inputs ----------------
+
+    def _docs_keyed(self) -> DataFrame:
+        """Documents with canonical url_key — the fetchable index. Derived
+        once and persisted (at cluster scale this is the Iceberg documents
+        table's sort key, computed at ingest)."""
+        path = f"{self.state_dir}/docs_keyed"
+        if not os.path.exists(path):
+            docs = self.spark.read.parquet(f"{self.corpus_dir}/documents.parquet")
+            canonicalize_candidates(docs, "url").write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _seen(self, upto_round: int) -> DataFrame:
+        """Union of per-round seen deltas (append-only, Iceberg-style)."""
+        paths = [self._p("seen", r) for r in range(upto_round + 1) if os.path.exists(self._p("seen", r))]
+        if not paths:
+            return self.spark.createDataFrame([], "url_key string, url_hash long, first_round int")
+        return self.spark.read.parquet(*paths)
+
+    def _rebuild_bloom(self, upto_round: int, expected_extra: int = 0) -> ShardedBloom | None:
+        if not self.use_bloom:
+            return None
+        seen = self._seen(upto_round)
+        n = seen.count() + expected_extra
+        params = BloomParams.size(max(n * 4, 4096), self.bloom_fpp, self.bloom_shards)
+        return build_bloom(seen, params) if n else ShardedBloom(params, {})
+
+    # ---------------- round 0 bootstrap ----------------
+
+    def bootstrap(self) -> None:
+        seeds = self.spark.read.parquet(f"{self.corpus_dir}/seeds.parquet")
+        cand = canonicalize_candidates(seeds, "url").filter(F.col("url_key").isNotNull())
+        cand = apply_robots(cand, self.robots)
+        frontier = (
+            cand.groupBy("url_key")
+            .agg(
+                F.min("url").alias("url"),
+                F.first("host").alias("host"),
+                F.first("url_hash").alias("url_hash"),
+                F.max("priority").alias("priority"),
+                F.lit(0).alias("discovered_round"),
+            )
+        )
+        frontier.write.mode("overwrite").parquet(self._p("frontier", 0))
+        self._commit(-1, frontier.count())
+
+    # ---------------- one round ----------------
+
+    def run_round(self, rnd: int) -> RoundMetrics:
+        spark = self.spark
+        m = RoundMetrics(round=rnd)
+        frontier = spark.read.parquet(self._p("frontier", rnd))
+
+        scheduled, spilled = schedule_round(frontier, self.politeness, self.salt_k)
+        scheduled = scheduled.cache()
+        m.scheduled = scheduled.count()
+
+        (
+            scheduled.select(
+                F.lit(rnd).alias("round"), "seq", "url_key", "url", "host",
+                "priority",
+            )
+            .coalesce(1)  # Σ budgets rows — small by construction
+            .write.mode("overwrite").parquet(self._p("schedule", rnd))
+        )
+        (
+            scheduled.select("url_key", "url_hash", F.lit(rnd).alias("first_round"))
+            .write.mode("overwrite").parquet(self._p("seen", rnd))
+        )
+
+        # fetch: scheduled ∩ corpus (semi-join on the sorted key)
+        docs = self._docs_keyed()
+        fetched = docs.join(
+            F.broadcast(scheduled.select("url_key")), "url_key", "left_semi"
+        ).cache()
+        m.records = fetched.count()
+        m.html_pages = fetched.filter(F.col("mime_type").isin("text/html", "application/xhtml+xml")).count()
+
+        links = extract_links(fetched.drop("url_key", "host", "url_hash"))
+        m.links = links.count()
+
+        cand = canonicalize_candidates(
+            links.select(F.col("dst_url").alias("url")), "url"
+        )
+        m.invalid_urls = cand.filter(F.col("url_key").isNull()).count()
+        cand = cand.filter(F.col("url_key").isNotNull())
+        n_before_robots = cand.count()
+        cand = apply_robots(cand, self.robots).cache()
+        n_after_robots = cand.count()
+        m.robots_blocked = n_before_robots - n_after_robots
+
+        # batch-level dedup (per-page + cross-page within the round)
+        cand = (
+            cand.groupBy("url_key")
+            .agg(
+                F.min("url").alias("url"),
+                F.first("host").alias("host"),
+                F.first("url_hash").alias("url_hash"),
+            )
+            .withColumn("priority", F.lit(0))
+            .withColumn("discovered_round", F.lit(rnd + 1))
+        )
+        n_unique = cand.count()
+
+        # URL-seen gate: Bloom prefilter + exact anti-join (incl. this round)
+        if self._bloom is None:
+            self._bloom = self._rebuild_bloom(rnd - 1, expected_extra=m.scheduled)
+        if self._bloom is not None:
+            newly = build_bloom(
+                scheduled.select("url_key"),
+                self._bloom.params,
+            )
+            self._bloom = _merge_blooms(self._bloom, newly)
+        seen = self._seen(rnd)
+        fresh, maybe = dedup_against_seen(spark, cand, seen, self._bloom)
+        fresh = fresh.cache()
+        n_fresh = fresh.count()
+        m.bloom_hits = maybe.count() if self._bloom is not None else 0
+        m.dedup_hits = n_unique - n_fresh
+
+        # next frontier = merge(spill, fresh); key-level merge keeps max
+        # priority and the earliest discovery round
+        merged = (
+            spilled.select("url_key", "url", "host", "url_hash", "priority", "discovered_round")
+            .unionByName(fresh.select("url_key", "url", "host", "url_hash", "priority", "discovered_round"))
+            .groupBy("url_key")
+            .agg(
+                F.min("url").alias("url"),
+                F.first("host").alias("host"),
+                F.first("url_hash").alias("url_hash"),
+                F.max("priority").alias("priority"),
+                F.min("discovered_round").alias("discovered_round"),
+            )
+        ).cache()
+        n_frontier = merged.count()
+        m.spilled = spilled.count()
+        merged.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
+
+        spark.createDataFrame([vars(m)]).coalesce(1).write.mode("overwrite").parquet(
+            self._p("metrics", rnd)
+        )
+        self._commit(rnd, n_frontier)
+        for df in (scheduled, fetched, cand, fresh, merged):
+            df.unpersist()
+        return m
+
+    # ---------------- full runs ----------------
+
+    def run(self, max_rounds: int | None = None) -> list[RoundMetrics]:
+        """Run (or resume) to completion. Resumption reads the manifest and
+        continues from the first uncommitted round; the Bloom filter is
+        rebuilt from the committed seen deltas (deterministic)."""
+        max_rounds = max_rounds if max_rounds is not None else self.max_rounds
+        manifest = self.load_manifest()
+        if manifest is None:
+            self.bootstrap()
+            manifest = self.load_manifest()
+        start = manifest["last_committed_round"] + 1
+        if start > 0:
+            self._bloom = self._rebuild_bloom(start - 1)
+        out: list[RoundMetrics] = []
+        rnd = start
+        while rnd < max_rounds:
+            if not os.path.exists(self._p("frontier", rnd)):
+                break
+            if self.load_manifest()["next_frontier_rows"] == 0:
+                break
+            out.append(self.run_round(rnd))
+            rnd += 1
+        return out
+
+    # ---------------- result accessors ----------------
+
+    def _round_paths(self, table: str) -> list[str]:
+        """Explicit committed leaf dirs — passing leaves (not a glob/basePath)
+        keeps Spark from inferring a `round` partition column that would
+        collide with the embedded data column."""
+        last = self.load_manifest()["last_committed_round"]
+        return [self._p(table, r) for r in range(last + 1) if os.path.exists(self._p(table, r))]
+
+    def schedule(self) -> DataFrame:
+        return self.spark.read.parquet(*self._round_paths("schedule"))
+
+    def url_seen(self) -> DataFrame:
+        last = self.load_manifest()["last_committed_round"]
+        return self._seen(last)
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(*self._round_paths("metrics"))
+
+
+def _merge_blooms(a: ShardedBloom, b: ShardedBloom) -> ShardedBloom:
+    shards = dict(a.shards)
+    for sid, bm in b.shards.items():
+        shards[sid] = (shards[sid] | bm) if sid in shards else bm
+    return ShardedBloom(a.params, shards)
