@@ -1,0 +1,793 @@
+"""Driver-facing query registry: Spark DataFrame queries + DuckDB oracles.
+
+Every operator from SURVEY.md §2 that is SQL-expressible appears here twice:
+once as an idiomatic PySpark DataFrame pipeline (Catalyst-optimized) and once
+as ANSI SQL the driver runs through DuckDB on the same parquet tables.
+Column names are aliased identically on both sides; float aggregates are
+made order-insensitive by summing integer cents/millis (per-row rounding is
+deterministic; integer sums are exact), so value-hashes match bit-for-bit.
+
+The crawl-shaped queries run over a DERIVED WEB: a deterministic
+urls/hosts/links view computed from the driver's ``documents`` table with
+pure arithmetic/string ops that Spark and DuckDB express identically
+(``_WEB_CTE`` below mirrors ``web_docs``/``web_links``). This lets the
+frontier operators — canonical keys, adjacency, anchors, politeness
+scheduling, multi-round BFS with URL-seen dedup — be oracle-checked
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from warcbase_spark.functions.text import detect_language, fingerprint, quality_score, token_count
+from warcbase_spark.operators.count_items import count_items
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Derived web view (deterministic; mirrored by _WEB_CTE)
+# ---------------------------------------------------------------------------
+
+def web_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    month = F.concat(F.lit("2024"), F.lpad((1 + F.col("doc_id") % 3).cast("string"), 2, "0"))
+    return d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.concat(F.lit("http://www."), "source", F.lit(".example.com/d/"), sid, F.lit(".html")).alias("url"),
+        F.concat(F.lit("www."), "source", F.lit(".example.com")).alias("host"),
+        F.concat("source", F.lit(".example.com")).alias("domain"),
+        F.concat(F.lit("com.example."), "source", F.lit(".www/d/"), sid, F.lit(".html")).alias("url_key"),
+        month.alias("month"),
+        F.concat(month, F.lpad((1 + F.col("doc_id") % 28).cast("string"), 2, "0")).alias("crawl_date"),
+        F.when(F.col("doc_id") % 10 <= 7, "text/html")
+        .when(F.col("doc_id") % 10 == 8, "image/gif")
+        .otherwise("text/plain")
+        .alias("mime_type"),
+    )
+
+
+def web_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = web_docs(spark, sf_dir)
+    n = w.agg(F.count(F.lit(1)).alias("c"))
+    src = (
+        w.select(
+            F.col("doc_id").alias("src_id"),
+            F.col("url").alias("src_url"),
+            F.col("domain").alias("src_domain"),
+            F.col("url_key").alias("src_key"),
+            "month",
+            F.explode(F.sequence(F.lit(1).cast("long"), 1 + F.col("doc_id") % 3)).alias("j"),
+        )
+        .join(F.broadcast(n))
+        .select(
+            "src_id",
+            "src_url",
+            "src_domain",
+            "src_key",
+            "month",
+            "j",
+            F.concat(F.lit("a"), F.col("j").cast("string")).alias("anchor"),
+            ((F.col("src_id") * 7 + F.col("j") * 13) % F.col("c")).alias("dst_id"),
+        )
+    )
+    dst = web_docs(spark, sf_dir).select(
+        F.col("doc_id").alias("dst_id"),
+        F.col("url").alias("dst_url"),
+        F.col("domain").alias("dst_domain"),
+        F.col("url_key").alias("dst_key"),
+        F.col("host").alias("dst_host"),
+    )
+    return src.join(dst, "dst_id")
+
+
+_WEB_CTE = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+w AS (
+  SELECT doc_id, text, lang, source, n_chars,
+         'http://www.' || source || '.example.com/d/' || doc_id || '.html' AS url,
+         'www.' || source || '.example.com' AS host,
+         source || '.example.com' AS domain,
+         'com.example.' || source || '.www/d/' || doc_id || '.html' AS url_key,
+         '2024' || lpad(CAST(1 + doc_id % 3 AS VARCHAR), 2, '0') AS month,
+         '2024' || lpad(CAST(1 + doc_id % 3 AS VARCHAR), 2, '0')
+                || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') AS crawl_date,
+         CASE WHEN doc_id % 10 <= 7 THEN 'text/html'
+              WHEN doc_id % 10 = 8 THEN 'image/gif'
+              ELSE 'text/plain' END AS mime_type
+  FROM documents
+),
+lnk0 AS (SELECT doc_id AS src_id, unnest(generate_series(1, 1 + doc_id % 3)) AS j FROM w),
+lnk1 AS (SELECT src_id, j, 'a' || j AS anchor,
+                (src_id * 7 + j * 13) % (SELECT c FROM n) AS dst_id
+         FROM lnk0),
+links AS (
+  SELECT l.src_id, s.url AS src_url, s.domain AS src_domain, s.url_key AS src_key,
+         s.month AS month, l.j, l.anchor, l.dst_id,
+         d.url AS dst_url, d.domain AS dst_domain, d.url_key AS dst_key, d.host AS dst_host
+  FROM lnk1 l JOIN w s ON l.src_id = s.doc_id JOIN w d ON l.dst_id = d.doc_id
+)
+"""
+
+
+def _cents(col) -> F.Column:
+    """Order-insensitive money aggregation: per-row round to integer cents
+    (deterministic on identical doubles), exact bigint sum."""
+    return F.round(col * 100, 0).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations / §2.2 filters over the derived web
+# ---------------------------------------------------------------------------
+
+@query(
+    "count_items_domain",
+    _WEB_CTE + "SELECT domain, count(*) AS count FROM w GROUP BY domain",
+)
+def count_items_domain(spark, sf_dir):
+    """A1 countItems (RecordRDD.scala:37-41) keyed by domain."""
+    return count_items(web_docs(spark, sf_dir), "domain")
+
+
+@query(
+    "pages_per_month",
+    _WEB_CTE + "SELECT month, count(*) AS count FROM w GROUP BY month",
+)
+def pages_per_month(spark, sf_dir):
+    """A2 pages per crawl month (CrawlStatistics.scala:14-22)."""
+    return count_items(web_docs(spark, sf_dir), "month")
+
+
+@query(
+    "mime_histogram",
+    _WEB_CTE + "SELECT mime_type, count(*) AS count FROM w GROUP BY mime_type",
+)
+def mime_histogram(spark, sf_dir):
+    """A11 MIME distribution (ArcTest.scala:94-116)."""
+    return count_items(web_docs(spark, sf_dir), "mime_type")
+
+
+@query(
+    "valid_html_by_date",
+    _WEB_CTE
+    + """
+    SELECT crawl_date, count(*) AS count FROM w
+    WHERE mime_type IN ('text/html', 'application/xhtml+xml')
+      AND crawl_date IS NOT NULL AND url NOT LIKE '%robots.txt'
+    GROUP BY crawl_date
+    """,
+)
+def valid_html_by_date(spark, sf_dir):
+    """F1 keepValidPages (RecordRDD.scala:51-59) + A2 count by date."""
+    from warcbase_spark.operators.filters import keep_mime_types
+
+    w = web_docs(spark, sf_dir).filter(
+        F.col("crawl_date").isNotNull() & ~F.col("url").endswith("robots.txt")
+    )
+    return count_items(keep_mime_types(w, ["text/html", "application/xhtml+xml"]), "crawl_date")
+
+
+@query(
+    "url_pattern_split",
+    _WEB_CTE
+    + r"""
+    SELECT
+      count(*) FILTER (WHERE regexp_matches(url, '^http://www\.src1[0-9]\.example\.com/.*$')) AS kept,
+      count(*) FILTER (WHERE NOT regexp_matches(url, '^http://www\.src1[0-9]\.example\.com/.*$')) AS discarded
+    FROM w
+    """,
+)
+def url_pattern_split(spark, sf_dir):
+    """F6 keepUrlPatterns/discardUrlPatterns partition exactly
+    (RecordRDD.scala:84-91; 16/284-style golden, ArcTest.scala:57-64)."""
+    from warcbase_spark.operators.filters import discard_url_patterns, keep_url_patterns
+
+    w = web_docs(spark, sf_dir)
+    pat = [r"http://www\.src1[0-9]\.example\.com/.*"]
+    kept = keep_url_patterns(w, pat).count()
+    discarded = discard_url_patterns(w, pat).count()
+    return spark.createDataFrame([(kept, discarded)], "kept long, discarded long")
+
+
+@query(
+    "top_domains",
+    _WEB_CTE
+    + "SELECT domain, count(*) AS count FROM w GROUP BY domain ORDER BY count DESC, domain LIMIT 5",
+)
+def top_domains(spark, sf_dir):
+    """W3 top-k (TakeOrderedAndProject; ExtractPopularImages.scala:24)."""
+    return count_items(web_docs(spark, sf_dir), "domain", limit=5)
+
+
+@query(
+    "domain_links_monthly",
+    _WEB_CTE
+    + """
+    SELECT month, src_domain, dst_domain, count(*) AS count
+    FROM links GROUP BY month, src_domain, dst_domain
+    """,
+)
+def domain_links_monthly(spark, sf_dir):
+    """A5 — the webgraph aggregate (CrawlStatistics.scala:50-71). Flagship."""
+    return (
+        web_links(spark, sf_dir)
+        .groupBy("month", "src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+@query(
+    "adjacency",
+    _WEB_CTE
+    + """
+    SELECT w.url_key AS src_key,
+           coalesce(string_agg(DISTINCT l.dst_key, ',' ORDER BY l.dst_key), '') AS dst_keys
+    FROM w LEFT JOIN links l ON l.src_key = w.url_key
+    GROUP BY w.url_key
+    """,
+)
+def adjacency(spark, sf_dir):
+    """G2 page adjacency: sorted, deduped dst keys; emits empty rows for
+    linkless pages (ExtractLinksWac.java:174-189)."""
+    w = web_docs(spark, sf_dir).select(F.col("url_key").alias("src_key"))
+    agg = (
+        web_links(spark, sf_dir)
+        .groupBy("src_key")
+        .agg(F.array_join(F.array_sort(F.collect_set("dst_key")), ",").alias("dst_keys"))
+    )
+    return w.join(agg, "src_key", "left").na.fill({"dst_keys": ""})
+
+
+@query(
+    "anchors_inverted",
+    _WEB_CTE + "SELECT dst_key, src_key, anchor FROM links",
+)
+def anchors_inverted(spark, sf_dir):
+    """G4 InvertAnchorText — duplicates retained (InvertAnchorText.java:88-107)."""
+    return web_links(spark, sf_dir).select("dst_key", "src_key", "anchor")
+
+
+@query(
+    "url_dictionary",
+    _WEB_CTE
+    + """
+    SELECT url_key, row_number() OVER (ORDER BY url_key) AS id
+    FROM (SELECT DISTINCT url_key FROM w)
+    """,
+)
+def url_dictionary(spark, sf_dir):
+    """A10 FST-style dense id assignment: global sort + sequential ids
+    (UrlMappingBuilder.java:72,119-136) as a range-partitioned sort, not a
+    1-reducer funnel."""
+    w = web_docs(spark, sf_dir).select("url_key").distinct()
+    return w.withColumn("id", F.row_number().over(Window.orderBy("url_key")))
+
+
+@query(
+    "popular_fingerprints",
+    _WEB_CTE
+    + """
+    SELECT md5(text) AS fp, count(*) AS count, min(url) AS sample_url
+    FROM w GROUP BY md5(text) ORDER BY count DESC, fp LIMIT 20
+    """,
+)
+def popular_fingerprints(spark, sf_dir):
+    """A7 duplicate-content popularity (ExtractPopularImages.scala:17-24
+    pattern, MD5-grouped)."""
+    return (
+        web_docs(spark, sf_dir)
+        .groupBy(F.md5("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("count"), F.min("url").alias("sample_url"))
+        .orderBy(F.desc("count"), "fp")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frontier operators, oracle-checked end-to-end on the derived web
+# ---------------------------------------------------------------------------
+
+_SEEDS_SQL = """
+seeds AS (
+  SELECT url_key, url, host, CAST(doc_id % 5 AS INT) AS priority
+  FROM w WHERE doc_id % 37 = 0
+),
+budgets AS (
+  SELECT host, CASE WHEN host IN ('www.src0.example.com','www.src1.example.com')
+               THEN 3 ELSE 2 END AS budget
+  FROM (SELECT DISTINCT host FROM w)
+)
+"""
+
+
+def _seeds_df(spark, sf_dir):
+    return web_docs(spark, sf_dir).filter(F.col("doc_id") % 37 == 0).select(
+        "url_key", "url", "host", (F.col("doc_id") % 5).cast("int").alias("priority")
+    )
+
+
+def _politeness_df(spark, sf_dir):
+    hosts = web_docs(spark, sf_dir).select("host").distinct()
+    per_host = hosts.select(
+        "host",
+        F.when(F.col("host").isin("www.src0.example.com", "www.src1.example.com"), 3)
+        .otherwise(2)
+        .cast("int")
+        .alias("budget"),
+    )
+    default = spark.createDataFrame([("*", 2)], "host string, budget int")
+    return per_host.unionByName(default)
+
+
+@query(
+    "frontier_schedule_r0",
+    _WEB_CTE.rstrip()
+    + ","
+    + _SEEDS_SQL
+    + """
+    , ranked AS (
+      SELECT s.url_key, s.host, s.priority, b.budget,
+             row_number() OVER (PARTITION BY s.host ORDER BY s.priority DESC, s.url_key) AS rn
+      FROM seeds s JOIN budgets b ON s.host = b.host
+    )
+    SELECT CAST(row_number() OVER (ORDER BY priority DESC, url_key) AS INT) AS seq,
+           url_key, host, priority
+    FROM ranked WHERE rn <= budget
+    """,
+)
+def frontier_schedule_r0(spark, sf_dir):
+    """Politeness priority queue, round 0 (north-rule scheduler; ordering
+    semantics from UrlMappingBuilder.java:72 sort parity)."""
+    from warcbase_spark.operators.scheduler import schedule_round
+
+    cand = _seeds_df(spark, sf_dir).withColumn("url_hash", F.xxhash64("url_key"))
+    sched, _ = schedule_round(cand, _politeness_df(spark, sf_dir))
+    return sched.select("seq", "url_key", "host", "priority")
+
+
+def bfs_rounds(
+    seeds: DataFrame, links: DataFrame, politeness: DataFrame, rounds: int
+) -> DataFrame:
+    """Multi-round BFS crawl schedule as a pure DataFrame composition:
+    per round → politeness window, seen-set anti-join dedup, spill with
+    priority+1 (the frontier loop semantics of frontier/crawl.py, without
+    checkpoint IO — used for oracle checks and benchmarks).
+
+    links must expose (src_key, dst_key, dst_host).
+    """
+    from warcbase_spark.operators.scheduler import schedule_round
+
+    frontier = seeds.select("url_key", "url", "host", "priority").withColumn(
+        "url_hash", F.xxhash64("url_key")
+    )
+    seen = None
+    out = []
+    for rnd in range(rounds):
+        sched, spilled = schedule_round(frontier, politeness)
+        sched = sched.cache()
+        out.append(
+            sched.select(
+                F.lit(rnd).alias("round"), "seq", "url_key", "host", "priority"
+            )
+        )
+        newly = sched.select("url_key")
+        seen = newly if seen is None else seen.unionByName(newly)
+        cand = (
+            links.join(sched.select(F.col("url_key").alias("src_key")), "src_key")
+            .select(
+                F.col("dst_key").alias("url_key"),
+                F.col("dst_url").alias("url"),
+                F.col("dst_host").alias("host"),
+            )
+            .distinct()
+            .join(seen, "url_key", "left_anti")
+            .withColumn("priority", F.lit(0))
+            .withColumn("url_hash", F.xxhash64("url_key"))
+        )
+        frontier = (
+            spilled.select("url_key", "url", "host", "priority", "url_hash")
+            .unionByName(cand.select("url_key", "url", "host", "priority", "url_hash"))
+            .groupBy("url_key")
+            .agg(
+                F.min("url").alias("url"),
+                F.first("host").alias("host"),
+                F.max("priority").alias("priority"),
+                F.first("url_hash").alias("url_hash"),
+            )
+        )
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result
+
+
+_BFS3_ORACLE = (
+    _WEB_CTE.rstrip()
+    + ","
+    + _SEEDS_SQL
+    + """
+, r0 AS (
+    SELECT url_key, host, priority FROM (
+      SELECT s.*, b.budget,
+             row_number() OVER (PARTITION BY s.host ORDER BY s.priority DESC, s.url_key) AS rn
+      FROM seeds s JOIN budgets b ON s.host = b.host
+    ) WHERE rn <= budget
+),
+spill0 AS (
+    SELECT url_key, host, priority + 1 AS priority FROM seeds
+    WHERE url_key NOT IN (SELECT url_key FROM r0)
+),
+cand1 AS (
+    SELECT DISTINCT l.dst_key AS url_key, l.dst_host AS host, 0 AS priority
+    FROM links l JOIN r0 ON l.src_key = r0.url_key
+    WHERE l.dst_key NOT IN (SELECT url_key FROM r0)
+),
+f1 AS (
+    SELECT url_key, min(host) AS host, CAST(max(priority) AS INT) AS priority
+    FROM (SELECT * FROM spill0 UNION ALL SELECT * FROM cand1) GROUP BY url_key
+),
+r1 AS (
+    SELECT url_key, host, priority FROM (
+      SELECT f.*, b.budget,
+             row_number() OVER (PARTITION BY f.host ORDER BY f.priority DESC, f.url_key) AS rn
+      FROM f1 f JOIN budgets b ON f.host = b.host
+    ) WHERE rn <= budget
+),
+seen1 AS (SELECT url_key FROM r0 UNION SELECT url_key FROM r1),
+spill1 AS (
+    SELECT url_key, host, priority + 1 AS priority FROM f1
+    WHERE url_key NOT IN (SELECT url_key FROM r1)
+),
+cand2 AS (
+    SELECT DISTINCT l.dst_key AS url_key, l.dst_host AS host, 0 AS priority
+    FROM links l JOIN r1 ON l.src_key = r1.url_key
+    WHERE l.dst_key NOT IN (SELECT url_key FROM seen1)
+),
+f2 AS (
+    SELECT url_key, min(host) AS host, CAST(max(priority) AS INT) AS priority
+    FROM (SELECT * FROM spill1 UNION ALL SELECT * FROM cand2) GROUP BY url_key
+),
+r2 AS (
+    SELECT url_key, host, priority FROM (
+      SELECT f.*, b.budget,
+             row_number() OVER (PARTITION BY f.host ORDER BY f.priority DESC, f.url_key) AS rn
+      FROM f2 f JOIN budgets b ON f.host = b.host
+    ) WHERE rn <= budget
+)
+SELECT 0 AS round, CAST(row_number() OVER (ORDER BY priority DESC, url_key) AS INT) AS seq,
+       url_key, host, priority FROM r0
+UNION ALL
+SELECT 1, CAST(row_number() OVER (ORDER BY priority DESC, url_key) AS INT), url_key, host, priority FROM r1
+UNION ALL
+SELECT 2, CAST(row_number() OVER (ORDER BY priority DESC, url_key) AS INT), url_key, host, priority FROM r2
+"""
+)
+
+
+@query("frontier_bfs3", _BFS3_ORACLE)
+def frontier_bfs3(spark, sf_dir):
+    """Three BFS crawl rounds — scheduler + URL-seen dedup + spill aging,
+    oracle-checked end-to-end (the north rule's ordering semantics)."""
+    return bfs_rounds(
+        _seeds_df(spark, sf_dir),
+        web_links(spark, sf_dir),
+        _politeness_df(spark, sf_dir),
+        rounds=3,
+    )
+
+
+@query(
+    "url_key_udf_parity",
+    _WEB_CTE + "SELECT url, url_key FROM w",
+)
+def url_key_udf_parity(spark, sf_dir):
+    """X21 urlToKey as the Arrow pandas UDF, checked against the string
+    construction the oracle uses — proves the canonicalizer agrees with the
+    key algebra on well-formed URLs."""
+    from warcbase_spark.functions.urls import url_to_key_udf
+
+    return web_docs(spark, sf_dir).select("url", url_to_key_udf(F.col("url")).alias("url_key"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-ish relational core (scan/filter/agg/join/window/sort/limit)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sum_qty_cents,
+           sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
+           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS sum_disc_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "tpch_q3_top10",
+    """
+    SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS revenue_cents
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue_cents DESC, o.o_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_top10(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue_cents",
+        )
+        .orderBy(F.desc("revenue_cents"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_region",
+    """
+    SELECT n.n_name AS nation,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS revenue_cents
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_region(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(s, (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == n.n_nationkey))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: windowed aggregation + sessionization
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
+           count(*) AS n, sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents(F.col("value"))).alias("value_cents"))
+    )
+
+
+@query(
+    "events_sessions",
+    """
+    SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events FROM (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ) GROUP BY user_id
+    """,
+)
+def events_sessions(spark, sf_dir):
+    """Sessionization: 30-min inactivity gap (lag + conditional sum).
+    Gap compared in integer microseconds so both engines decide identically."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the cast is identity
+    micros = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap = micros(F.col("ts")) - micros(F.lag(F.col("ts")).over(w))
+    flagged = e.withColumn(
+        "new_s", F.when(F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats_by_lang",
+    """
+    SELECT lang, count(*) AS n_docs,
+           sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS total_tokens,
+           sum(n_chars) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "lang_id_confusion",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             [
+               {'score': len(list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' '), x -> x IN ('the','and','of'))), 'lang': 'en'},
+               {'score': len(list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' '), x -> x IN ('el','la','los'))), 'lang': 'es'},
+               {'score': len(list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' '), x -> x IN ('der','die','und'))), 'lang': 'de'},
+               {'score': len(list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' '), x -> x IN ('le','les','des'))), 'lang': 'fr'},
+               {'score': len(list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' '), x -> x IN ('de','shi','zai'))), 'lang': 'zh'}
+             ] AS scores
+      FROM documents
+    ),
+    best AS (SELECT doc_id, lang, list_max(scores) AS b FROM scored)
+    SELECT lang, CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS detected, count(*) AS count
+    FROM best GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark, sf_dir):
+    """X11 DetectLanguage analogue: heuristic marker-token language ID,
+    confusion counts vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", detect_language(F.col("text")).alias("detected")).groupBy(
+        "lang", "detected"
+    ).agg(F.count(F.lit(1)).alias("count"))
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_distinct,
+           count(*) - count(DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS n_dups
+    FROM documents
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via normalized-text fingerprint (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(fingerprint(F.col("text")))).alias("n_dups"),
+    )
+
+
+@query(
+    "quality_by_source",
+    None,  # quality_score mixes several fp ops; checked rows-only by driver
+)
+def quality_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.round(quality_score(F.col("text")) * 1000, 0).cast("long")).alias("quality_milli_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "embedding_topk_cosine",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS (
+      SELECT e.vec_id,
+             round(
+               list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 3) AS sim
+      FROM embeddings e, q WHERE e.vec_id != 0
+    )
+    SELECT vec_id, sim FROM sims ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def embedding_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: JVM-side zip_with/aggregate
+    dot products (no UDF), broadcast query vector."""
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "emb", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("emb").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("emb"), F.col("qv"))
+                / (F.sqrt(dot(F.col("emb"), F.col("emb"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+                3,
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(10)
+    )
