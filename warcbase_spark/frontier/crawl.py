@@ -36,13 +36,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from warcbase_spark.frontier.robots import apply_robots
-from warcbase_spark.functions.urls import host_of_key_udf, url_to_key_udf
+from warcbase_spark.functions.urls import canonical_cols
 from warcbase_spark.operators.extract import extract_links
 from warcbase_spark.operators.scheduler import schedule_round
 from warcbase_spark.operators.seen import (
     BloomParams,
     ShardedBloom,
     build_bloom,
+    build_bloom_jvm,
     dedup_against_seen,
 )
 
@@ -51,9 +52,10 @@ def canonicalize_candidates(df: DataFrame, url_col: str = "url") -> DataFrame:
     """url → (url_key, host, url_hash); invalid URLs get null url_key.
     Canonicalization is the Arrow-vectorized UDF; host + hash derive from
     the key JVM-side/vectorized."""
-    out = df.withColumn("url_key", url_to_key_udf(F.col(url_col)))
+    url_key, host = canonical_cols(F.col(url_col))
     return (
-        out.withColumn("host", host_of_key_udf(F.col("url_key")))
+        df.withColumn("url_key", url_key)
+        .withColumn("host", host)
         .withColumn("url_hash", F.xxhash64("url_key"))
     )
 
@@ -86,6 +88,7 @@ class FrontierCrawl:
         use_bloom: bool = True,
         bloom_fpp: float = 0.01,
         bloom_shards: int = 32,
+        bloom_mode: str = "jvm",
     ) -> None:
         self.spark = spark
         self.corpus_dir = corpus_dir
@@ -95,6 +98,9 @@ class FrontierCrawl:
         self.use_bloom = use_bloom
         self.bloom_fpp = bloom_fpp
         self.bloom_shards = bloom_shards
+        self.bloom_mode = bloom_mode  # "jvm" (bloom_filter_agg/might_contain,
+        # zero Python in the probe) or "sharded" (numpy ShardedBloom — the
+        # 10^10-key path where one filter exceeds a single agg buffer)
         self._bloom: ShardedBloom | None = None
         os.makedirs(state_dir, exist_ok=True)
 
@@ -227,19 +233,26 @@ class FrontierCrawl:
         n_unique = cand.count()
 
         # URL-seen gate: Bloom prefilter + exact anti-join (incl. this round)
-        if self._bloom is None:
-            self._bloom = self._rebuild_bloom(rnd - 1, expected_extra=m.scheduled)
-        if self._bloom is not None:
-            newly = build_bloom(
-                scheduled.select("url_key"),
-                self._bloom.params,
-            )
-            self._bloom = _merge_blooms(self._bloom, newly)
         seen = self._seen(rnd)
-        fresh, maybe = dedup_against_seen(spark, cand, seen, self._bloom)
+        if not self.use_bloom:
+            bloom = None
+        elif self.bloom_mode == "jvm":
+            # stateless per-round build: one distributed partial-agg pass
+            # over the committed seen deltas (checkpoint-friendly — resume
+            # needs no filter state)
+            n_seen = seen.count()
+            bloom = build_bloom_jvm(seen, max(n_seen * 2, 4096), self.bloom_fpp)
+        else:
+            if self._bloom is None:
+                self._bloom = self._rebuild_bloom(rnd - 1, expected_extra=m.scheduled)
+            if self._bloom is not None:
+                newly = build_bloom(scheduled.select("url_key"), self._bloom.params)
+                self._bloom = _merge_blooms(self._bloom, newly)
+            bloom = self._bloom
+        fresh, maybe = dedup_against_seen(spark, cand, seen, bloom)
         fresh = fresh.cache()
         n_fresh = fresh.count()
-        m.bloom_hits = maybe.count() if self._bloom is not None else 0
+        m.bloom_hits = maybe.count() if bloom is not None else 0
         m.dedup_hits = n_unique - n_fresh
 
         # next frontier = merge(spill, fresh); key-level merge keeps max
@@ -266,6 +279,9 @@ class FrontierCrawl:
         self._commit(rnd, n_frontier)
         for df in (scheduled, fetched, cand, fresh, merged):
             df.unpersist()
+        # dedup_against_seen and add_global_seq cache intermediates they
+        # cannot unpersist themselves; every round output is already on disk
+        spark.catalog.clearCache()
         return m
 
     # ---------------- full runs ----------------
@@ -280,7 +296,7 @@ class FrontierCrawl:
             self.bootstrap()
             manifest = self.load_manifest()
         start = manifest["last_committed_round"] + 1
-        if start > 0:
+        if start > 0 and self.use_bloom and self.bloom_mode != "jvm":
             self._bloom = self._rebuild_bloom(start - 1)
         out: list[RoundMetrics] = []
         rnd = start

@@ -28,18 +28,55 @@ from pyspark.sql import functions as F
 DEFAULT_SALT_K = 16
 
 
+def add_global_seq(df: DataFrame, order: list, out_col: str = "seq") -> DataFrame:
+    """Deterministic global 1-based sequence by ``order`` WITHOUT a
+    single-task window: range-partition + sort on the key, stamp
+    ``monotonically_increasing_id`` (= partition_id<<33 | row-in-partition,
+    so it encodes the global order), then add the collected cumulative
+    per-partition counts as an array-literal lookup. One wide shuffle, one
+    tiny counts job, no second window shuffle, no join — a global
+    ``Window.orderBy`` would funnel every row into one task.
+
+    Requires the order to be a strict total order (here url_key is unique
+    within a round), so the result is independent of partition boundaries.
+
+    The ranged intermediate is cached: range-boundary sampling (and AQE
+    coalescing) are not stable across re-evaluations, so the counts pass and
+    the final pass must see the SAME physical row placement.
+    """
+    ranged = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .cache()
+    )
+    pid = F.shiftright("_mid", 33).cast("int")
+    counts = {
+        r["_pid"]: r["count"]
+        for r in ranged.groupBy(pid.alias("_pid")).count().collect()
+    }
+    n_parts = (max(counts) + 1) if counts else 1
+    offsets, acc = [], 0
+    for p in range(n_parts):
+        offsets.append(acc)
+        acc += counts.get(p, 0)
+    off = F.get(F.array(*[F.lit(o) for o in offsets]), pid)
+    local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+    return ranged.withColumn(out_col, (off + local + 1).cast("int")).drop("_mid")
+
+
 def with_budgets(candidates: DataFrame, politeness: DataFrame) -> DataFrame:
     """Attach per-host budget; '*' row is the default. Politeness is a small
-    dimension table → broadcast join, no shuffle of the candidate side."""
-    default_budget = politeness.filter(F.col("host") == "*").select(
-        F.col("budget").alias("default_budget")
-    )
+    dimension table → broadcast join, no shuffle of the candidate side; the
+    single default value is collected to the driver and folded as a literal
+    (a 1-row cross join costs a BroadcastNestedLoopJoin pass over every
+    candidate — measured 12s/700k rows)."""
+    default_rows = politeness.filter(F.col("host") == "*").select("budget").collect()
+    default_budget = default_rows[0]["budget"] if default_rows else 1
     per_host = politeness.filter(F.col("host") != "*")
     return (
         candidates.join(F.broadcast(per_host), "host", "left")
-        .join(F.broadcast(default_budget))  # 1-row cross join
-        .withColumn("budget", F.coalesce("budget", "default_budget"))
-        .drop("default_budget")
+        .withColumn("budget", F.coalesce("budget", F.lit(default_budget)))
     )
 
 
@@ -56,7 +93,14 @@ def schedule_round(
     position within the round). spilled = unscheduled, priority+1.
     """
     order = [F.desc("priority"), F.asc("url_key")]
-    c = with_budgets(candidates, politeness)
+
+    # The rank runs on a NARROW projection: the windows shuffle and sort
+    # only (url_key, host, priority) — never the full frontier row (url,
+    # hashes, payload columns). Wide rows would make the window shuffle
+    # memory-bandwidth-bound; full rows are recovered at the end with a
+    # broadcast join of the (Σ budgets)-sized winner set.
+    narrow = candidates.select("url_key", "host", "priority")
+    c = with_budgets(narrow, politeness)
 
     # stage 1: salted partial rank — bounds window size on hot hosts
     salt = F.pmod(F.xxhash64("url_key", F.lit("\x02")), F.lit(salt_k))
@@ -70,17 +114,26 @@ def schedule_round(
 
     # stage 2: exact per-host rank over the ≤ salt_k×budget survivors
     w2 = Window.partitionBy("host").orderBy(*order)
-    ranked = survivors.withColumn("rn", F.row_number().over(w2))
-    scheduled = ranked.filter(F.col("rn") <= F.col("budget")).drop("rn", "budget")
-
-    spilled = (
-        candidates.join(scheduled.select("url_key"), "url_key", "left_anti")
-        .withColumn("priority", F.col("priority") + F.lit(1))
+    winners = (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= F.col("budget"))
+        .select("url_key", "host", "priority")
     )
 
     if with_seq:
-        # deterministic global sequence — parity artifact; a single-task
-        # window over the (small: Σ budgets) scheduled set, not over input
-        wg = Window.orderBy(*order)
-        scheduled = scheduled.withColumn("seq", F.row_number().over(wg))
+        # deterministic global sequence — parity artifact; range-partitioned
+        # rank, never a single-task global window (Σ budgets can be millions
+        # of rows per round at 10^10-frontier scale)
+        winners = add_global_seq(winners, order).select("url_key", "seq")
+    else:
+        winners = winners.select("url_key")
+    winners = winners.cache()
+
+    # winner set is Σ budgets rows — broadcast joins, so the full-width
+    # candidate rows are never shuffled (map-side inner + anti join)
+    scheduled = candidates.join(F.broadcast(winners), "url_key")
+    spilled = (
+        candidates.join(F.broadcast(winners.select("url_key")), "url_key", "left_anti")
+        .withColumn("priority", F.col("priority") + F.lit(1))
+    )
     return scheduled, spilled

@@ -139,11 +139,56 @@ def probe_bloom(
     return hashed.withColumn(out_col, _probe(h1, h2)).drop("h1", "h2")
 
 
+# ---------------------------------------------------------------------------
+# JVM bloom path (default for the broadcast regime).
+#
+# Spark's bloom_filter_agg is a declarative aggregate: every task builds a
+# partial filter over its partition and the partials OR-merge up the agg
+# tree, so the build is as distributed as the sharded numpy variant. The
+# probe (might_contain over a binary literal) is pure JVM — measured: the
+# pandas-UDF probe chained after the canonicalize UDF doubled the Python
+# worker pool (2 ArrowEvalPython nodes/stage → 2×cores processes) and
+# oversubscribed the box, INVERTING 8→32-core scaling. numpy ShardedBloom
+# remains the 10^10-key path where one filter exceeds a single buffer
+# (probe_bloom_cogrouped routes rows to shard bitmaps by hash).
+# ---------------------------------------------------------------------------
+
+def build_bloom_jvm(df: DataFrame, n_expected: int, fpp: float = 0.01,
+                    key_col: str = "url_key") -> bytes:
+    """Distributed JVM build over xxhash64(key): ``DataFrameStatFunctions.
+    bloomFilter`` aggregates per-partition sketches and merges them (same
+    build topology as the sharded numpy variant), serialized to bytes so it
+    rides the physical plan to every task."""
+    hashed = df.select(F.xxhash64(F.col(key_col)).alias("h"))
+    jbf = hashed._jdf.stat().bloomFilter("h", max(int(n_expected), 1), fpp)
+    jvm = df.sparkSession._jvm
+    bos = jvm.java.io.ByteArrayOutputStream()
+    jbf.writeTo(bos)
+    return bytes(bos.toByteArray())
+
+
+def probe_bloom_jvm(df: DataFrame, bloom_bytes: bytes, key_col: str = "url_key",
+                    out_col: str = "maybe_seen") -> DataFrame:
+    """Membership test fully inside the JVM (BloomFilterMightContain — the
+    expression Spark's own runtime-filter rewrite uses; public Spark source,
+    sql/catalyst). No Python worker in the probe."""
+    from pyspark.sql.column import Column as PyCol
+
+    jvm = df.sparkSession._jvm
+    eu = jvm.org.apache.spark.sql.classic.ExpressionUtils
+    lit_expr = eu.expression(F.lit(bytearray(bloom_bytes))._jc)
+    key_expr = eu.expression(F.xxhash64(F.col(key_col))._jc)
+    mc = jvm.org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        lit_expr, key_expr
+    )
+    return df.withColumn(out_col, PyCol(eu.column(mc)))
+
+
 def dedup_against_seen(
     spark: SparkSession,
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: ShardedBloom | None,
+    bloom: "ShardedBloom | bytes | None",
     key_col: str = "url_key",
 ) -> tuple[DataFrame, DataFrame]:
     """Exact URL-seen dedup with Bloom prefilter.
@@ -157,7 +202,13 @@ def dedup_against_seen(
     if bloom is None:
         return candidates.join(seen.select(key_col), key_col, "left_anti"), candidates.limit(0)
 
-    probed = probe_bloom(spark, candidates, bloom, key_col)
+    # Materialize the probe ONCE: both output branches consume it, and an
+    # uncached plan would re-run the whole canonicalize+probe lineage (all
+    # Arrow UDF passes) per branch.
+    if isinstance(bloom, (bytes, bytearray)):
+        probed = probe_bloom_jvm(candidates, bloom, key_col).cache()
+    else:
+        probed = probe_bloom(spark, candidates, bloom, key_col).cache()
     definitely_fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_fresh = maybe.join(seen.select(key_col), key_col, "left_anti")
