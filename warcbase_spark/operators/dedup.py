@@ -1,0 +1,131 @@
+"""Document deduplication operators for training-data pipelines.
+
+All engine-visible arithmetic is chosen to be ENGINE-PORTABLE so every
+operator has a bit-exact DuckDB oracle:
+
+- hashing = md5 hex strings (identical lowercase hex in Spark and DuckDB);
+  a lexicographic MIN over salted md5 hex strings is a valid min-hash.
+- similarity scores are kept as integer (intersection, union) pairs or
+  integer-division fixed-point — no float aggregation order dependence.
+
+Reference analogue: warcbase's only dedup is exact MD5 grouping
+(ExtractPopularImages.scala:17-24) and the FST URL-seen gate; the near-dup
+family (MinHash/SimHash/Jaccard) is the training-data extension the spec
+asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# normalized whitespace-token array (same normalization as functions.text)
+def tokens_col(text) -> F.Column:
+    return F.split(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))), " ")
+
+
+def shingles_col(text, k: int = 3) -> F.Column:
+    """Word k-gram shingles, document order, possibly with duplicates."""
+    w = tokens_col(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)])),
+    ).otherwise(F.array())
+
+
+def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 3) -> DataFrame:
+    """(doc, sh) distinct shingle set per document."""
+    return (
+        docs.select(F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), k)).alias("sh"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """Per-doc minhash signature: sig_i = min(md5(i ':' shingle)).
+
+    Lexicographic min over salted md5 hex = permutation min-hash; one hash
+    aggregate per signature row, all partial-aggregated map-side.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"sig{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = 8) -> DataFrame:
+    """Banded LSH with band width 1: docs sharing ANY signature value are
+    candidates. The self-join is per (band, value) bucket — the classic
+    bucket-join that scales as Σ bucket² instead of n²."""
+    bands = sigs.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band"), F.col(f"sig{i}").alias("v"))
+                for i in range(n_hashes)
+            ])
+        ).alias("b"),
+    ).select("doc", "b.band", "b.v")
+    a = bands.select(F.col("doc").alias("a"), "band", "v")
+    b = bands.select(F.col("doc").alias("b"), "band", "v")
+    return (
+        a.join(b, ["band", "v"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def verified_jaccard(pairs: DataFrame, sh: DataFrame, min_inter: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard evidence for candidate pairs, integer-only:
+    (a, b, inter, union_sz) with inter >= min_inter."""
+    sa = sh.select(F.col("doc").alias("a"), "sh")
+    sb = sh.select(F.col("doc").alias("b"), "sh")
+    inter = (
+        pairs.join(sa, "a").join(sb, ["b", "sh"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(sizes.select(F.col("doc").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
+        .filter(F.col("inter") >= min_inter)
+        .select("a", "b", "inter", "union_sz")
+    )
+
+
+def simhash16_col(text) -> F.Column:
+    """16-bit SimHash over normalized tokens, engine-portable.
+
+    bit_b = 1 iff Σ_tokens (±1 by bit b of md5(token)) > 0; the per-token
+    bit is hex digit b of the md5 (0-15), tested via a portable integer
+    trick: position of the hex char in '0123456789abcdef' gives its value,
+    bit j = (value >> (j%4)) & 1 using digit (b//4).
+
+    Simplification for portability: use hex digit b's LOW bit as the
+    projection for bit b (16 independent-ish projections from 16 digits).
+    """
+    w = tokens_col(text)
+    bits = []
+    hexpos = "0123456789abcdef"
+
+    def contrib_for(bit: int) -> F.Column:
+        def merge(acc, t):
+            # hex digit `bit` of md5(token) → 0..15; its low bit is the ±1 sign
+            val = F.instr(F.lit(hexpos), F.substring(F.md5(t), bit + 1, 1)) - 1
+            return acc + F.when((val % 2) == 1, 1).otherwise(-1)
+
+        return F.aggregate(w, F.lit(0), merge)
+
+    for b in range(16):
+        bits.append(F.when(contrib_for(b) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out

@@ -791,3 +791,369 @@ def embedding_topk_cosine(spark, sf_dir):
         .orderBy(F.desc("sim"), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: near-dup dedup, similarity search, multimodal
+# ---------------------------------------------------------------------------
+
+_NORM_SQL = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+
+_SHINGLES_SQL = f"""
+sh AS (
+  SELECT doc_id AS doc, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(ws) >= 3 THEN
+             [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+              FOR i IN generate_series(1, len(ws) - 2)]
+           ELSE [] END) AS sh
+    FROM (SELECT doc_id, {_NORM_SQL} AS ws FROM documents)
+  ) GROUP BY 1, 2
+)
+"""
+
+_JACCARD_TAIL_SQL = """
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT p.a, p.b, count(*) AS inter
+  FROM pairs p JOIN sh sa ON sa.doc = p.a JOIN sh sb ON sb.doc = p.b AND sb.sh = sa.sh
+  GROUP BY p.a, p.b
+)
+SELECT i.a, i.b, i.inter, na.n + nb.n - i.inter AS union_sz
+FROM inter i JOIN sizes na ON na.doc = i.a JOIN sizes nb ON nb.doc = i.b
+WHERE i.inter >= {min_inter}
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    "WITH "
+    + _SHINGLES_SQL.strip().rstrip()
+    + """,
+sigs AS (
+  SELECT doc, """
+    + ", ".join(f"min(md5('{i}:' || sh)) AS sig{i}" for i in range(8))
+    + """
+  FROM sh GROUP BY doc
+),
+bands AS (
+  SELECT doc, band, v FROM (
+    SELECT doc, unnest(["""
+    + ", ".join(f"{{'band': {i}, 'v': sig{i}}}" for i in range(8))
+    + """]) AS s
+    FROM sigs
+  ) t, LATERAL (SELECT t.s.band AS band, t.s.v AS v)
+),
+pairs AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v AND x.doc < y.doc
+),
+"""
+    + _JACCARD_TAIL_SQL.format(min_inter=3),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (8 perms, md5-lex-min) -> banded LSH bucket join -> exact
+    shingle-Jaccard verification. Integer-only evidence columns so the
+    DuckDB oracle matches bit-for-bit."""
+    from warcbase_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verified_jaccard,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(d).cache()
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, 8), 8)
+    return verified_jaccard(pairs, sh, min_inter=3)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    "WITH "
+    + _SHINGLES_SQL.strip().rstrip()
+    + """,
+pairs AS (
+  SELECT DISTINCT sa.doc AS a, sb.doc AS b
+  FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc < sb.doc
+),
+"""
+    + _JACCARD_TAIL_SQL.format(min_inter=4),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard dedup via the shingle inverted index (no LSH):
+    candidate pairs = docs sharing any shingle, evidence = (inter, union)."""
+    from warcbase_spark.operators.dedup import doc_shingles, verified_jaccard
+
+    d = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(d).cache()
+    a = sh.select(F.col("doc").alias("a"), "sh")
+    b = sh.select(F.col("doc").alias("b"), "sh")
+    pairs = a.join(b, "sh").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    return verified_jaccard(pairs, sh, min_inter=4)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH sims AS (
+      SELECT doc_id, (
+        """
+    + " + ".join(
+        f"""CASE WHEN list_sum(list_transform(ws, t ->
+              CASE WHEN (strpos('0123456789abcdef', substr(md5(t), {b + 1}, 1)) - 1) % 2 = 1
+                   THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END"""
+        for b in range(16)
+    )
+    + f"""
+      ) AS simhash
+      FROM (SELECT doc_id, {_NORM_SQL} AS ws FROM documents)
+    )
+    SELECT count(*) AS n_buckets, sum(c) AS n_docs,
+           sum((c * (c - 1)) // 2) AS collision_pairs
+    FROM (SELECT simhash, count(*) AS c FROM sims GROUP BY simhash)
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash near-dup fingerprint; reports bucket stats +
+    collision-pair count (hash-groupBy dedup at scale)."""
+    from warcbase_spark.operators.dedup import simhash16_col
+
+    d = _t(spark, sf_dir, "documents")
+    buckets = d.select(simhash16_col(F.col("text")).alias("simhash")).groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("collision_pairs"),
+    )
+
+
+_BUCKET_SQL = (
+    "("
+    + " + ".join(f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(6))
+    + ")"
+)
+
+
+@query(
+    "embedding_neardup",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bkt FROM embeddings
+    ),
+    p AS (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             round(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))), 3) AS sim
+      FROM e x JOIN e y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+    )
+    SELECT a, b, sim FROM p WHERE sim >= 0.3 ORDER BY sim DESC, a, b
+    """,
+)
+def embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup detection, LSH sign-bucketed candidate join
+    (cost Σ bucket² not n²), cosine fully JVM-side."""
+    from warcbase_spark.operators.similarity import bucketed_neighbors
+
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        bucketed_neighbors(e, 6)
+        .filter(F.col("sim") >= 0.3)
+        .orderBy(F.desc("sim"), "a", "b")
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bkt FROM embeddings
+    ),
+    q AS (SELECT v AS qv, bkt AS qbkt FROM e WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, q.qv)
+                 / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 3) AS sim
+    FROM e, q WHERE e.bkt = q.qbkt AND e.vec_id != 0
+    ORDER BY sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Approximate nearest neighbors: search only the query's sign bucket
+    (the scale path next to the brute-force embedding_topk_cosine baseline)."""
+    from warcbase_spark.operators.similarity import ann_topk
+
+    return ann_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=6)
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    base = _WEB_CTE.rstrip() + """,
+edges AS (SELECT DISTINCT src_id, dst_id FROM links),
+outd AS (SELECT src_id, count(*) AS od FROM edges GROUP BY src_id),
+r0 AS (SELECT doc_id AS id, CAST(1000000000000 // (SELECT c FROM n) AS BIGINT) AS r FROM w)
+"""
+    body = ""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        body += f""",
+s{i} AS (
+  SELECT e.dst_id AS id, sum({prev}.r // o.od) AS s
+  FROM edges e JOIN {prev} ON {prev}.id = e.src_id JOIN outd o ON o.src_id = e.src_id
+  GROUP BY e.dst_id
+),
+r{i} AS (
+  SELECT w.doc_id AS id,
+         CAST((1000000000000 * 15) // ((SELECT c FROM n) * 100)
+              + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM w LEFT JOIN s{i} ON s{i}.id = w.doc_id
+)"""
+        prev = f"r{i}"
+    return base + body + f"\nSELECT id, r AS rank_fp FROM {prev}"
+
+
+@query("pagerank5", _pagerank_oracle_sql(5))
+def pagerank5(spark, sf_dir):
+    """G1/G5 PageRank (ExtractGraph.scala:42-75) as an iterative DataFrame
+    loop — 5 static iterations, damping 0.85, fixed-point integer arithmetic
+    (contributions integer-divided before the sum) so the result is
+    aggregation-order-independent and bit-identical to the DuckDB oracle."""
+    docs = web_docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    edges = web_links(spark, sf_dir).select("src_id", "dst_id").distinct().cache()
+    outd = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("od"))
+    n = docs.count()
+    total = 1_000_000_000_000
+    ranks = docs.withColumn("r", F.lit(total // n).cast("long"))
+    base = (total * 15) // (n * 100)
+    for _ in range(5):
+        contrib = (
+            edges.join(ranks, edges.src_id == ranks.id)
+            .join(outd, "src_id")
+            .select("dst_id", F.expr("r div od").alias("c"))
+            .groupBy("dst_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = docs.join(contrib, docs.id == contrib.dst_id, "left").select(
+            "id",
+            (F.lit(base) + F.expr("85 * coalesce(s, 0) div 100")).cast("long").alias("r"),
+        )
+    return ranks.select("id", F.col("r").alias("rank_fp"))
+
+
+@query(
+    "site_links_rangejoin",
+    _WEB_CTE.rstrip()
+    + """,
+dict AS (
+  SELECT url_key, row_number() OVER (ORDER BY url_key) AS id
+  FROM (SELECT DISTINCT url_key FROM w)
+),
+ranges AS (
+  SELECT w.domain, min(d.id) AS s, max(d.id) AS e
+  FROM w JOIN dict d ON d.url_key = w.url_key GROUP BY w.domain
+),
+lid AS (
+  SELECT l.src_domain, d.id AS dst_id
+  FROM links l JOIN dict d ON d.url_key = l.dst_key
+)
+SELECT lid.src_domain, r.domain AS dst_domain, count(*) AS weight
+FROM lid JOIN ranges r ON lid.dst_id BETWEEN r.s AND r.e
+GROUP BY 1, 2
+""",
+)
+def site_links_rangejoin(spark, sf_dir):
+    """G3/J3 site-level links via id-range join (PrefixMapping.java:95-109,
+    ExtractSiteLinks.java:124-191): reversed-host-sorted dense ids make each
+    site a contiguous id range; the (small) range table broadcasts."""
+    w = web_docs(spark, sf_dir)
+    dict_df = url_dictionary(spark, sf_dir)
+    ranges = (
+        w.join(dict_df, "url_key")
+        .groupBy("domain")
+        .agg(F.min("id").alias("s"), F.max("id").alias("e"))
+    )
+    lid = (
+        web_links(spark, sf_dir)
+        .select("src_domain", "dst_key")
+        .join(dict_df.select(F.col("url_key").alias("dst_key"), F.col("id").alias("did")), "dst_key")
+        .select("src_domain", "did")
+    )
+    return (
+        lid.join(F.broadcast(ranges), (F.col("did") >= F.col("s")) & (F.col("did") <= F.col("e")))
+        .groupBy("src_domain", F.col("domain").alias("dst_domain"))
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+@query(
+    "events_props_json",
+    """
+    SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_json(spark, sf_dir):
+    """S4/X19/X20 dynamic-JSON schema-on-read (RecordLoader.loadTweets,
+    TweetUtils.scala:9-18): get_json_object field extraction + aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CAST(strlen(text) AS INT) AS n_bytes,
+           CAST((ascii(substr(text, 1, 1)) * 7 + ascii(substr(text, 2, 1))) % 640 + 1 AS INT) AS width,
+           CAST((ascii(substr(text, 3, 1)) * 13 + ascii(substr(text, 4, 1))) % 480 + 1 AS INT) AS height,
+           CAST(ascii(substr(text, 1, 1)) + ascii(substr(text, 2, 1)) + ascii(substr(text, 3, 1))
+              + ascii(substr(text, 4, 1)) + ascii(substr(text, 5, 1)) + ascii(substr(text, 6, 1))
+              + ascii(substr(text, 7, 1)) + ascii(substr(text, 8, 1)) AS INT) AS head_sum
+    FROM documents
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload → decoded metadata via a
+    REAL mapInPandas Arrow batch pipeline (operators/multimodal.py); codec
+    is the deterministic fake (no image libs in this container), mirrored
+    exactly by the byte-arithmetic oracle."""
+    from warcbase_spark.operators.multimodal import decode_media
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return decode_media(d, mode="fake")
+
+
+@query(
+    "multimodal_resize",
+    """
+    WITH dec AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             (ascii(substr(text, 1, 1)) * 7 + ascii(substr(text, 2, 1))) % 640 + 1 AS width,
+             (ascii(substr(text, 3, 1)) * 13 + ascii(substr(text, 4, 1))) % 480 + 1 AS height
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(greatest((width * least(1000, (1000 * 224) // greatest(width, height))) // 1000, 1) AS INT) AS width,
+           CAST(greatest((height * least(1000, (1000 * 224) // greatest(width, height))) // 1000, 1) AS INT) AS height,
+           CAST(least(1000, (1000 * 224) // greatest(width, height)) AS INT) AS scale_milli
+    FROM dec
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize plan over decoded media dims (fit 224, never upscale),
+    integer fixed-point scale."""
+    from warcbase_spark.operators.multimodal import decode_media, resize_media
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return resize_media(decode_media(d, mode="fake"), max_side=224)
