@@ -1,0 +1,97 @@
+"""Physical-plan audits: the properties that matter at 100 TB must be
+visible in the plan, not assumed — filter pushdown reaching the parquet
+scan, column pruning, broadcast joins for small dims, Arrow-only Python,
+no cartesian products in the frontier path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from warcbase_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    df = QUERIES["tpch_q1"](spark, SF)
+    df.collect()  # AQE: codegen spans only appear in the final executed plan
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # column pruning: the scan must not read all 16 lineitem columns
+    read_schema = plan.split("ReadSchema", 1)[1][:400]
+    assert "l_comment" not in read_schema
+    # whole-stage codegen engaged: '*' markers on the final-plan operators
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "* HashAggregate" in buf.getvalue()
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    plan = plan_of(QUERIES["tpch_q3_top10"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # orderBy+limit fused, no global sort
+
+
+def test_frontier_plan_no_cartesian_no_batch_python(spark):
+    plan = plan_of(QUERIES["frontier_schedule_r0"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # per-row Python is forbidden
+
+
+def test_canonicalize_is_arrow_only(spark):
+    from warcbase_spark.frontier.crawl import canonicalize_candidates
+
+    urls = spark.range(10).select(
+        F.concat(F.lit("http://h"), F.col("id").cast("string"), F.lit(".com/p.html")).alias("url")
+    )
+    plan = plan_of(canonicalize_candidates(urls))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+    # exactly one Python stage: the struct-returning canonicalizer
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_dedup_probe_is_jvm_side(spark):
+    """The JVM bloom path must add NO Python stage beyond canonicalize."""
+    from warcbase_spark.frontier.crawl import canonicalize_candidates
+    from warcbase_spark.operators.seen import build_bloom_jvm, probe_bloom_jvm
+
+    urls = spark.range(100).select(
+        F.concat(F.lit("http://h"), F.col("id").cast("string"), F.lit(".com/p.html")).alias("url")
+    )
+    cand = canonicalize_candidates(urls)
+    bloom = build_bloom_jvm(cand, 100)
+    plan = plan_of(probe_bloom_jvm(cand, bloom))
+    assert plan.count("ArrowEvalPython") == 1  # still just the canonicalizer
+    assert "BatchEvalPython" not in plan
+
+
+def test_scheduler_broadcasts_politeness_and_winners(spark):
+    from warcbase_spark.operators.scheduler import schedule_round
+
+    cand = spark.range(1000).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("url_key"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 10).cast("string")).alias("host"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+    )
+    politeness = spark.createDataFrame([("*", 5)], "host string, budget int")
+    scheduled, spilled = schedule_round(cand, politeness)
+    for df in (scheduled, spilled):
+        p = plan_of(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+
+
+@pytest.mark.parametrize("name", ["domain_links_monthly", "dedup_minhash_lsh", "ann_lsh_topk"])
+def test_no_per_row_python_anywhere(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF))
+    assert "BatchEvalPython" not in plan

@@ -1157,3 +1157,158 @@ def multimodal_resize(spark, sf_dir):
         F.encode("text", "UTF-8").alias("payload"),
     )
     return resize_media(decode_media(d, mode="fake"), max_side=224)
+
+
+# ---------------------------------------------------------------------------
+# Remaining SURVEY §2 coverage: A4, X4-X6, X7/F4, G5/J1, A8 shape
+# ---------------------------------------------------------------------------
+
+@query(
+    "pages_month_domain_having",
+    _WEB_CTE
+    + """
+    SELECT month, domain, count(*) AS count FROM w
+    GROUP BY month, domain HAVING count(*) > 8
+    """,
+)
+def pages_month_domain_having(spark, sf_dir):
+    """A4 pages by (month, domain) with HAVING count>10
+    (CrawlStatistics.scala:37-48)."""
+    return (
+        web_docs(spark, sf_dir)
+        .groupBy("month", "domain")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .where(F.col("count") > 8)
+    )
+
+
+_CONTENT_SQL = (
+    "text || ' see http://www.' || source || '.example.com/d/' || doc_id"
+    " || '.html by @user' || doc_id % 7 || ' #tag' || doc_id % 5"
+)
+
+
+def _content_col():
+    sid = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.lit(" see http://www."), F.col("source"), F.lit(".example.com/d/"), sid,
+        F.lit(".html by @user"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(" #tag"), (F.col("doc_id") % 5).cast("string"),
+    )
+
+
+@query(
+    "extract_urls",
+    f"""
+    SELECT u AS url, count(*) AS count FROM (
+      SELECT unnest(regexp_extract_all({_CONTENT_SQL}, 'https?://[^ ]+')) AS u
+      FROM documents
+    ) GROUP BY u ORDER BY count DESC, url LIMIT 20
+    """,
+)
+def extract_urls(spark, sf_dir):
+    """X4 ExtractUrls (matchbox/ExtractUrls.scala:19-22):
+    regexp_extract_all + explode + countItems."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.regexp_extract_all(_content_col(), F.lit(r"https?://[^ ]+"), 0)).alias("url"))
+        .groupBy("url").agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "url").limit(20)
+    )
+
+
+@query(
+    "extract_mentions_hashtags",
+    f"""
+    WITH c AS (SELECT {_CONTENT_SQL} AS content FROM documents),
+    m AS (SELECT unnest(regexp_extract_all(content, '@[A-Za-z_0-9]+')) AS tok FROM c),
+    h AS (SELECT unnest(regexp_extract_all(content, '#[^ ]+')) AS tok FROM c),
+    allt AS (SELECT 'mention' AS kind, tok FROM m UNION ALL SELECT 'hashtag', tok FROM h)
+    SELECT kind, tok, count(*) AS count FROM allt GROUP BY kind, tok
+    """,
+)
+def extract_mentions_hashtags(spark, sf_dir):
+    """X5/X6 ExtractAtMentions + ExtractHashtags
+    (matchbox/ExtractAtMentions.scala:19-22, ExtractHashtags.scala:19-22)."""
+    d = _t(spark, sf_dir, "documents").select(_content_col().alias("content"))
+    m = d.select(F.lit("mention").alias("kind"),
+                 F.explode(F.regexp_extract_all("content", F.lit(r"@[A-Za-z_0-9]+"), 0)).alias("tok"))
+    h = d.select(F.lit("hashtag").alias("kind"),
+                 F.explode(F.regexp_extract_all("content", F.lit(r"#[^ ]+"), 0)).alias("tok"))
+    return m.unionByName(h).groupBy("kind", "tok").agg(F.count(F.lit(1)).alias("count"))
+
+
+@query(
+    "date_granularities",
+    _WEB_CTE
+    + """
+    SELECT substr(crawl_date, 1, 4) AS yyyy, substr(crawl_date, 1, 6) AS yyyymm,
+           substr(crawl_date, 5, 2) AS mm, substr(crawl_date, 7, 2) AS dd,
+           count(*) AS count
+    FROM w GROUP BY 1, 2, 3, 4
+    """,
+)
+def date_granularities(spark, sf_dir):
+    """X7 ExtractDate components (matchbox/ExtractDate.scala:21-29) / F4
+    keepDate granularities (RecordRDD.scala:76-78) as substring pulls."""
+    w = web_docs(spark, sf_dir)
+    return w.groupBy(
+        F.substring("crawl_date", 1, 4).alias("yyyy"),
+        F.substring("crawl_date", 1, 6).alias("yyyymm"),
+        F.substring("crawl_date", 5, 2).alias("mm"),
+        F.substring("crawl_date", 7, 2).alias("dd"),
+    ).agg(F.count(F.lit(1)).alias("count"))
+
+
+@query(
+    "graph_degrees",
+    _WEB_CTE
+    + """
+    , od AS (SELECT src_domain AS domain, count(*) AS out_deg FROM links GROUP BY 1),
+    idg AS (SELECT dst_domain AS domain, count(*) AS in_deg FROM links GROUP BY 1)
+    SELECT w.domain, coalesce(max(od.out_deg), 0) AS out_deg, coalesce(max(idg.in_deg), 0) AS in_deg
+    FROM (SELECT DISTINCT domain FROM w) w
+    LEFT JOIN od ON od.domain = w.domain LEFT JOIN idg ON idg.domain = w.domain
+    GROUP BY w.domain
+    """,
+)
+def graph_degrees(spark, sf_dir):
+    """G5 degrees + J1 left-outer degree joins with missing→0
+    (ExtractGraph.scala:60-74 outerJoinVertices ×3 pattern)."""
+    links = web_links(spark, sf_dir)
+    nodes = web_docs(spark, sf_dir).select("domain").distinct()
+    od = links.groupBy(F.col("src_domain").alias("domain")).agg(F.count(F.lit(1)).alias("out_deg"))
+    idg = links.groupBy(F.col("dst_domain").alias("domain")).agg(F.count(F.lit(1)).alias("in_deg"))
+    return (
+        nodes.join(od, "domain", "left").join(idg, "domain", "left")
+        .na.fill({"out_deg": 0, "in_deg": 0})
+        .select("domain", "out_deg", "in_deg")
+    )
+
+
+@query(
+    "anchor_count_nested",
+    _WEB_CTE
+    + """
+    SELECT month, src_domain,
+           string_agg(anchor || ':' || c, ',' ORDER BY anchor) AS anchor_counts
+    FROM (SELECT month, src_domain, anchor, count(*) AS c
+          FROM links GROUP BY month, src_domain, anchor)
+    GROUP BY month, src_domain
+    """,
+)
+def anchor_count_nested(spark, sf_dir):
+    """A8 NERCombinedJson nested-aggregation shape
+    (NERCombinedJson.scala:80-87): inner entity counts, outer merge into a
+    per-group sorted map (serialized deterministically as k:v list)."""
+    inner = (
+        web_links(spark, sf_dir)
+        .groupBy("month", "src_domain", "anchor")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return inner.groupBy("month", "src_domain").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.concat_ws(":", "anchor", "c"))), ","
+        ).alias("anchor_counts")
+    )
