@@ -381,6 +381,7 @@ def bfs_rounds(
     """
     from warcbase_spark.operators.scheduler import schedule_round
 
+    links = links.cache()  # re-joined every round
     frontier = seeds.select("url_key", "url", "host", "priority").withColumn(
         "url_hash", F.xxhash64("url_key")
     )
@@ -418,7 +419,11 @@ def bfs_rounds(
                 F.max("priority").alias("priority"),
                 F.first("url_hash").alias("url_hash"),
             )
+            # truncate the per-round lineage: without this the plan doubles
+            # every round and Catalyst analysis dominates wall time
+            .localCheckpoint(eager=True)
         )
+        seen = seen.localCheckpoint(eager=True)
     result = out[0]
     for df in out[1:]:
         result = result.unionByName(df)
@@ -1311,4 +1316,48 @@ def anchor_count_nested(spark, sf_dir):
         F.array_join(
             F.array_sort(F.collect_list(F.concat_ws(":", "anchor", "c"))), ","
         ).alias("anchor_counts")
+    )
+
+
+@query(
+    "domain_range_scan",
+    _WEB_CTE
+    + """
+    SELECT url_key, crawl_date, mime_type FROM w
+    WHERE url_key LIKE 'com.example.src1.%'
+    ORDER BY url_key, crawl_date
+    """,
+)
+def domain_range_scan(spark, sf_dir):
+    """S9/O13 sorted-key range scan: reversed-host keys make a domain one
+    contiguous key range (UrlUtils.java:29-47 rowkey design;
+    PrefixMapping.java:61-93 prefix ranges) — a LIKE 'prefix%' predicate
+    min/max-prunes on the sorted url_key."""
+    return (
+        web_docs(spark, sf_dir)
+        .filter(F.col("url_key").like("com.example.src1.%"))
+        .select("url_key", "crawl_date", "mime_type")
+        .orderBy("url_key", "crawl_date")
+    )
+
+
+@query(
+    "url_history",
+    _WEB_CTE
+    + """
+    SELECT crawl_date, mime_type, url FROM w
+    WHERE url_key = (SELECT min(url_key) FROM w)
+    ORDER BY crawl_date
+    """,
+)
+def url_history(spark, sf_dir):
+    """S9 temporal point lookup (WarcBrowserServlet.java:123-153: all
+    versions of one URL ordered by capture time) as a DataFrame point query
+    over the sorted key."""
+    w = web_docs(spark, sf_dir)
+    k = w.agg(F.min("url_key").alias("k"))
+    return (
+        w.join(F.broadcast(k), w.url_key == F.col("k"))
+        .select("crawl_date", "mime_type", "url")
+        .orderBy("crawl_date")
     )
