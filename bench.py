@@ -77,7 +77,9 @@ def bench_frontier(spark: SparkSession, n: int, repeat: int = 1) -> dict:
 
 def _bench_frontier_once(spark: SparkSession, n: int) -> dict:
     from warcbase_spark.frontier.crawl import canonicalize_candidates
-    from warcbase_spark.operators.scheduler import schedule_round
+    from pyspark.sql import Observation
+
+    from warcbase_spark.operators.scheduler import schedule_round_combined
     from warcbase_spark.operators.seen import build_bloom_jvm, dedup_against_seen
 
     raw = synthetic_frontier(spark, n)
@@ -98,13 +100,25 @@ def _bench_frontier_once(spark: SparkSession, n: int) -> dict:
     t_bloom = time.monotonic()
     cand = canonicalize_candidates(raw.filter("NOT pre_seen").select("url", "priority"))
     fresh, _maybe = dedup_against_seen(spark, cand, seen_keys, bloom)
-    fresh = fresh.cache()  # scheduler consumes it 3×: budgets/windows, spill, seq
+    fresh = fresh.cache()  # scheduler consumes it twice: rank + output join
     n_fresh = fresh.count()
     t_dedup = time.monotonic()
-    scheduled, spilled = schedule_round(fresh, politeness)
-    scheduled = scheduled.cache()
-    n_sched = scheduled.count()
-    n_spill = spilled.count()
+    # one-pass output: single winner broadcast, single streaming pass;
+    # scheduled/spilled counts observed during that same pass
+    combined = schedule_round_combined(fresh, politeness)
+    obs = Observation("round")
+    (
+        combined.observe(
+            obs,
+            F.count(F.when(F.col("seq").isNotNull(), 1)).alias("n_sched"),
+            F.count(F.when(F.col("seq").isNull(), 1)).alias("n_spill"),
+        )
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    n_sched = obs.get["n_sched"]
+    n_spill = obs.get["n_spill"]
     dt = time.monotonic() - t0
     t_sched = time.monotonic() - t_dedup
     spark.catalog.clearCache()  # drop probed/scheduled/seq caches before the query suite

@@ -52,7 +52,16 @@ def main() -> None:
     repeat = int(args[1]) if len(args) > 1 else 3
     cores = [int(c) for c in args[2:]] or [1, 2, 4, 8, 16, 32]
 
-    results = {c: run_level(root, c, n, repeat) for c in cores}
+    # Interleave levels across fresh-JVM rounds and keep the per-level
+    # minimum: this box has slow co-tenant drift (±25% between identical
+    # runs minutes apart), so measuring all repeats of one level in one
+    # block would bias that level by whatever the box was doing then.
+    results: dict[int, dict] = {}
+    for _ in range(repeat):
+        for c in cores:
+            r = run_level(root, c, n, repeat=1)
+            if c not in results or r["sec"] < results[c]["sec"]:
+                results[c] = r
     base, quad = cores[0], cores[0] * 4
     eff = None
     if quad in results:

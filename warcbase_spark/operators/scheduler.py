@@ -80,11 +80,28 @@ def with_budgets(candidates: DataFrame, politeness: DataFrame) -> DataFrame:
     )
 
 
+def schedule_round_combined(
+    candidates: DataFrame,
+    politeness: DataFrame,
+    salt_k: int = DEFAULT_SALT_K,
+    with_seq: bool = True,
+) -> DataFrame:
+    """One-pass variant: candidate columns + nullable ``seq`` (non-null =
+    scheduled this round). Consuming THIS frame once — e.g. a single
+    partitioned write, with counts taken via ``observe()`` — costs exactly
+    one winner-broadcast build and one streaming pass over the candidates;
+    materializing `scheduled` and `spilled` as separate queries builds the
+    broadcast twice (measured ~10s serial per round at 1M winners)."""
+    scheduled, _ = schedule_round(candidates, politeness, salt_k, with_seq, _combined=True)
+    return scheduled
+
+
 def schedule_round(
     candidates: DataFrame,
     politeness: DataFrame,
     salt_k: int = DEFAULT_SALT_K,
     with_seq: bool = True,
+    _combined: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (scheduled, spilled).
 
@@ -126,14 +143,24 @@ def schedule_round(
         # of rows per round at 10^10-frontier scale)
         winners = add_global_seq(winners, order).select("url_key", "seq")
     else:
-        winners = winners.select("url_key")
+        winners = winners.select("url_key", F.lit(0).alias("seq"))
     winners = winners.cache()
 
-    # winner set is Σ budgets rows — broadcast joins, so the full-width
-    # candidate rows are never shuffled (map-side inner + anti join)
-    scheduled = candidates.join(F.broadcast(winners), "url_key")
+    # winner set is Σ budgets rows — ONE broadcast left join over the
+    # full-width candidates covers both outputs (matched → scheduled,
+    # unmatched → spilled): candidates are never shuffled. NOT cached:
+    # callers cache/materialize candidates, so each side is a streaming
+    # map-side join over that cache — caching `joined` would re-write every
+    # wide row to the block store for no saved work.
+    joined = candidates.join(F.broadcast(winners), "url_key", "left")
+    if _combined:
+        return joined, joined.limit(0)
+    scheduled = joined.filter(F.col("seq").isNotNull())
+    if not with_seq:
+        scheduled = scheduled.drop("seq")
     spilled = (
-        candidates.join(F.broadcast(winners.select("url_key")), "url_key", "left_anti")
+        joined.filter(F.col("seq").isNull())
+        .drop("seq")
         .withColumn("priority", F.col("priority") + F.lit(1))
     )
     return scheduled, spilled
