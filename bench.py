@@ -37,12 +37,18 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3_top10",
     "tpch_q5_region",
+    "tpch_q6",
     "domain_links_monthly",
     "adjacency",
     "frontier_bfs3",
     "events_sessions",
     "dedup_exact",
+    "dedup_simhash",
+    "dedup_minhash_lsh",
+    "pagerank5",
     "embedding_topk_cosine",
+    "ann_lsh_topk",
+    "multimodal_decode",
 ]
 
 

@@ -101,10 +101,16 @@ def canonicalize(url: str | None) -> str | None:
     scheme = parts.scheme.lower()
     if scheme not in ("http", "https", "ftp"):
         return None
-    host = (parts.hostname or "").lower().rstrip(".")
+    try:
+        host = (parts.hostname or "").lower().rstrip(".")
+    except ValueError:
+        return None
     if not host or not _HOST_RE.match(host):
         return None
-    port = parts.port
+    try:
+        port = parts.port  # raises ValueError on malformed ports, e.g. "h::"
+    except ValueError:
+        return None
     netloc = host
     if port is not None and port != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"
