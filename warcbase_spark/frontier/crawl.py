@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from warcbase_spark.frontier.robots import apply_robots
 from warcbase_spark.functions.urls import canonical_cols
 from warcbase_spark.operators.extract import extract_links
-from warcbase_spark.operators.scheduler import schedule_round
+from warcbase_spark.operators.scheduler import schedule_round_combined
 from warcbase_spark.operators.seen import (
     BloomParams,
     ShardedBloom,
@@ -181,8 +181,16 @@ class FrontierCrawl:
         m = RoundMetrics(round=rnd)
         frontier = spark.read.parquet(self._p("frontier", rnd))
 
-        scheduled, spilled = schedule_round(frontier, self.politeness, self.salt_k)
-        scheduled = scheduled.cache()
+        # one-pass politeness output: single winner broadcast; scheduled and
+        # spilled are filters over the same cached frame (at cluster scale
+        # this frame is written once, partitioned by the scheduled flag)
+        joined = schedule_round_combined(frontier, self.politeness, self.salt_k).cache()
+        scheduled = joined.filter(F.col("seq").isNotNull())
+        spilled = (
+            joined.filter(F.col("seq").isNull())
+            .drop("seq")
+            .withColumn("priority", F.col("priority") + F.lit(1))
+        )
         m.scheduled = scheduled.count()
 
         (
@@ -277,7 +285,7 @@ class FrontierCrawl:
             self._p("metrics", rnd)
         )
         self._commit(rnd, n_frontier)
-        for df in (scheduled, fetched, cand, fresh, merged):
+        for df in (joined, fetched, cand, fresh, merged):
             df.unpersist()
         # dedup_against_seen and add_global_seq cache intermediates they
         # cannot unpersist themselves; every round output is already on disk
