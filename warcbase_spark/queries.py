@@ -837,7 +837,10 @@ WHERE i.inter >= {min_inter}
     + """,
 sigs AS (
   SELECT doc, """
-    + ", ".join(f"min(md5('{i}:' || sh)) AS sig{i}" for i in range(8))
+    + ", ".join(
+        f"min(substr(md5('{'a:' if i < 4 else 'b:'}' || sh), {(i % 4) * 8 + 1}, 8)) AS sig{i}"
+        for i in range(8)
+    )
     + """
   FROM sh GROUP BY doc
 ),
