@@ -1420,3 +1420,33 @@ def tpch_q4_semijoin(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )
+
+
+@query(
+    "tpch_q14_promo",
+    """
+    SELECT p.p_type,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS revenue_cents,
+           count(*) AS n
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+    GROUP BY p.p_type
+    """,
+)
+def tpch_q14_promo(spark, sf_dir):
+    """Fact-dim broadcast join (part is the small side) + filtered agg —
+    q14-shaped revenue per part type."""
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
