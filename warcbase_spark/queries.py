@@ -1450,3 +1450,28 @@ def tpch_q14_promo(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "robots_filtering",
+    _WEB_CTE
+    + """
+    SELECT url_key, host FROM w
+    WHERE NOT (url_key LIKE '%/robots.txt')
+      AND NOT (host IN ('www.src0.example.com', 'www.src1.example.com')
+               AND substr(url_key, strpos(url_key, '/'), 1000000) LIKE '/d/1%')
+    """,
+)
+def robots_filtering(spark, sf_dir):
+    """Robots disallow rules (frontier/robots.py): per-host path-prefix
+    table broadcast-joined, prefix test as a Column exists() over the
+    aggregated rule array — RecordRDD.scala:58 robots.txt drop + north-rule
+    per-host disallow extension."""
+    from warcbase_spark.frontier.robots import apply_robots
+
+    robots = spark.createDataFrame(
+        [("www.src0.example.com", "/d/1"), ("www.src1.example.com", "/d/1")],
+        "host string, path_prefix string",
+    )
+    cand = web_docs(spark, sf_dir).select("url_key", "host")
+    return apply_robots(cand, robots)
