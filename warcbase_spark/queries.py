@@ -526,9 +526,9 @@ def url_key_udf_parity(spark, sf_dir):
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS sum_qty_cents,
-           sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS sum_base_cents,
-           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS sum_disc_cents,
+           CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -553,7 +553,7 @@ def tpch_q1(spark, sf_dir):
     "tpch_q3_top10",
     """
     SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
@@ -589,7 +589,7 @@ def tpch_q3_top10(spark, sf_dir):
     "tpch_q5_region",
     """
     SELECT n.n_name AS nation,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
                   JOIN orders o ON o.o_custkey = c.c_custkey
@@ -625,7 +625,7 @@ def tpch_q5_region(spark, sf_dir):
     "events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour, event_type,
-           count(*) AS n, sum(CAST(round(value * 100, 0) AS BIGINT)) AS value_cents
+           count(*) AS n, CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events GROUP BY 1, 2
     """,
 )
@@ -643,7 +643,7 @@ def events_hourly(spark, sf_dir):
 @query(
     "events_sessions",
     """
-    SELECT user_id, sum(new_s) AS n_sessions, count(*) AS n_events FROM (
+    SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
       SELECT user_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
@@ -677,8 +677,8 @@ def events_sessions(spark, sf_dir):
     "text_stats_by_lang",
     """
     SELECT lang, count(*) AS n_docs,
-           sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS total_tokens,
-           sum(n_chars) AS total_chars
+           CAST(sum(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))) AS BIGINT) AS total_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
 )
@@ -917,8 +917,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
       ) AS simhash
       FROM (SELECT doc_id, {_NORM_SQL} AS ws FROM documents)
     )
-    SELECT count(*) AS n_buckets, sum(c) AS n_docs,
-           sum((c * (c - 1)) // 2) AS collision_pairs
+    SELECT count(*) AS n_buckets, CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS collision_pairs
     FROM (SELECT simhash, count(*) AS c FROM sims GROUP BY simhash)
     """,
 )
@@ -1006,7 +1006,7 @@ r0 AS (SELECT doc_id AS id, CAST(1000000000000 // (SELECT c FROM n) AS BIGINT) A
     for i in range(1, iters + 1):
         body += f""",
 s{i} AS (
-  SELECT e.dst_id AS id, sum({prev}.r // o.od) AS s
+  SELECT e.dst_id AS id, CAST(sum({prev}.r // o.od) AS BIGINT) AS s
   FROM edges e JOIN {prev} ON {prev}.id = e.src_id JOIN outd o ON o.src_id = e.src_id
   GROUP BY e.dst_id
 ),
@@ -1097,7 +1097,7 @@ def site_links_rangejoin(spark, sf_dir):
     "events_props_json",
     """
     SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS k_sum,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -1369,7 +1369,7 @@ def url_history(spark, sf_dir):
 @query(
     "tpch_q6",
     """
-    SELECT sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS revenue_cents,
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -1426,7 +1426,7 @@ def tpch_q4_semijoin(spark, sf_dir):
     "tpch_q14_promo",
     """
     SELECT p.p_type,
-           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS revenue_cents,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents,
            count(*) AS n
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
