@@ -69,3 +69,20 @@ def test_resume_exactness(spark, corpus_dir, crawl, sim):
     assert got_sched == ref_sched
     got_seen = {r["url_key"]: r["first_round"] for r in fc2.url_seen().collect()}
     assert got_seen == sim.seen
+
+
+def test_seen_compaction_transparent(crawl):
+    """Compaction must be invisible to readers: seen-from-base+deltas equals
+    the union of ALL deltas, and the manifest names a real base snapshot."""
+    import os
+
+    m = crawl.load_manifest()
+    assert m["seen_base_round"] >= 0
+    assert os.path.exists(f"{crawl.state_dir}/seen_base/round={m['seen_base_round']:05d}")
+    last = m["last_committed_round"]
+    via_base = {(r["url_key"], r["first_round"]) for r in crawl._seen(last).collect()}
+    all_deltas = crawl.spark.read.parquet(
+        *[crawl._p("seen", r) for r in range(last + 1) if os.path.exists(crawl._p("seen", r))]
+    )
+    via_deltas = {(r["url_key"], r["first_round"]) for r in all_deltas.collect()}
+    assert via_base == via_deltas

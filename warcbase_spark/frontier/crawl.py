@@ -89,6 +89,7 @@ class FrontierCrawl:
         bloom_fpp: float = 0.01,
         bloom_shards: int = 32,
         bloom_mode: str = "jvm",
+        compact_every: int = 8,
     ) -> None:
         self.spark = spark
         self.corpus_dir = corpus_dir
@@ -98,6 +99,7 @@ class FrontierCrawl:
         self.use_bloom = use_bloom
         self.bloom_fpp = bloom_fpp
         self.bloom_shards = bloom_shards
+        self.compact_every = compact_every
         self.bloom_mode = bloom_mode  # "jvm" (bloom_filter_agg/might_contain,
         # zero Python in the probe) or "sharded" (numpy ShardedBloom — the
         # 10^10-key path where one filter exceeds a single agg buffer)
@@ -116,10 +118,20 @@ class FrontierCrawl:
     def _manifest_path(self) -> str:
         return f"{self.state_dir}/manifest.json"
 
-    def _commit(self, rnd: int, frontier_rows: int) -> None:
+    def _commit(self, rnd: int, frontier_rows: int, seen_base: int | None = None) -> None:
+        if seen_base is None:
+            m = self.load_manifest() or {}
+            seen_base = m.get("seen_base_round", -1)
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"last_committed_round": rnd, "next_frontier_rows": frontier_rows}, f)
+            json.dump(
+                {
+                    "last_committed_round": rnd,
+                    "next_frontier_rows": frontier_rows,
+                    "seen_base_round": seen_base,
+                },
+                f,
+            )
         os.replace(tmp, self._manifest_path)  # the atomic commit point
 
     def load_manifest(self) -> dict | None:
@@ -141,11 +153,37 @@ class FrontierCrawl:
         return self.spark.read.parquet(path)
 
     def _seen(self, upto_round: int) -> DataFrame:
-        """Union of per-round seen deltas (append-only, Iceberg-style)."""
-        paths = [self._p("seen", r) for r in range(upto_round + 1) if os.path.exists(self._p("seen", r))]
+        """Seen set = compacted base (≤ seen_base_round) + per-round deltas
+        after it. Append-only Iceberg-style deltas with periodic compaction
+        (``compact_every``) so a 10k-round crawl reads O(compact_every)
+        files, not 10k delta dirs."""
+        m = self.load_manifest() or {}
+        base_round = m.get("seen_base_round", -1)
+        paths = []
+        if base_round >= 0 and base_round <= upto_round:
+            paths.append(f"{self.state_dir}/seen_base/round={base_round:05d}")
+            start = base_round + 1
+        else:
+            start = 0
+        paths += [
+            self._p("seen", r)
+            for r in range(start, upto_round + 1)
+            if os.path.exists(self._p("seen", r))
+        ]
         if not paths:
             return self.spark.createDataFrame([], "url_key string, url_hash long, first_round int")
         return self.spark.read.parquet(*paths)
+
+    def _maybe_compact_seen(self, rnd: int) -> int | None:
+        """Rewrite the full seen set (base + deltas ≤ rnd) into one sorted
+        snapshot; becomes effective atomically via the manifest's
+        seen_base_round. Sorted by url_key → Parquet min/max prune point
+        lookups (the HBase-rowkey-scan analogue)."""
+        if self.compact_every <= 0 or (rnd + 1) % self.compact_every != 0:
+            return None
+        out = f"{self.state_dir}/seen_base/round={rnd:05d}"
+        self._seen(rnd).sortWithinPartitions("url_key").write.mode("overwrite").parquet(out)
+        return rnd
 
     def _rebuild_bloom(self, upto_round: int, expected_extra: int = 0) -> ShardedBloom | None:
         if not self.use_bloom:
@@ -284,7 +322,8 @@ class FrontierCrawl:
         spark.createDataFrame([vars(m)]).coalesce(1).write.mode("overwrite").parquet(
             self._p("metrics", rnd)
         )
-        self._commit(rnd, n_frontier)
+        new_base = self._maybe_compact_seen(rnd)
+        self._commit(rnd, n_frontier, seen_base=new_base)
         for df in (joined, fetched, cand, fresh, merged):
             df.unpersist()
         # dedup_against_seen and add_global_seq cache intermediates they
