@@ -93,6 +93,29 @@ def test_multimodal_decode_fake_and_real_gate(spark):
     with pytest.raises(NotImplementedError):
         decode_media(payloads, mode="real")
 
+    with pytest.raises(ValueError):
+        decode_media(payloads, mode="bogus")
+
+
+def test_multimodal_decode_real(spark):
+    """Real PIL decode branch (skipped where Pillow is absent): valid PNG →
+    true dimensions; undecodable payload → (0,0) per ComputeImageSize
+    semantics."""
+    pytest.importorskip("PIL")
+    import io
+
+    import PIL.Image
+
+    from warcbase_spark.operators.multimodal import decode_media
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    rows = [("ok", bytearray(buf.getvalue())), ("bad", bytearray(b"not an image"))]
+    d = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {r["doc_id"]: (r["width"], r["height"]) for r in decode_media(d, mode="real").collect()}
+    assert got["ok"] == (3, 2)
+    assert got["bad"] == (0, 0)
+
 
 def test_frame_sample_plan(spark):
     from warcbase_spark.operators.multimodal import frame_sample_plan

@@ -53,6 +53,14 @@ EDGE_URLS = [
     "http://a.b/?onlyquery",
     "http://a.b/p/%2F.html",
     "http://site4095.example.org/p/999999.html",
+    # trailing-whitespace URLs: `$` regex anchors match before a final '\n',
+    # so these must NOT take the fast path (ADVICE r1: fast/slow equivalence)
+    "http://a.com\n",
+    "http://a.b/p/1.html\n",
+    "http://a.b/p/1.html\r\n",
+    "http://a.b/x \n",
+    "\nhttp://a.b/x",
+    "http://a.b/x\t",
 ]
 
 

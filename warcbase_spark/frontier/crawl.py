@@ -32,7 +32,7 @@ import json
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from warcbase_spark.frontier.robots import apply_robots
@@ -118,10 +118,20 @@ class FrontierCrawl:
     def _manifest_path(self) -> str:
         return f"{self.state_dir}/manifest.json"
 
-    def _commit(self, rnd: int, frontier_rows: int, seen_base: int | None = None) -> None:
+    def _commit(
+        self,
+        rnd: int,
+        frontier_rows: int,
+        seen_base: int | None = None,
+        scheduled_delta: int = 0,
+    ) -> None:
+        m = self.load_manifest() or {}
         if seen_base is None:
-            m = self.load_manifest() or {}
             seen_base = m.get("seen_base_round", -1)
+        # running total of seen rows (per-round deltas are disjoint because
+        # the seen gate never re-schedules a key) — sizes the Bloom build
+        # without a count() job per round
+        seen_rows = m.get("seen_rows", 0) + scheduled_delta
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -129,6 +139,7 @@ class FrontierCrawl:
                     "last_committed_round": rnd,
                     "next_frontier_rows": frontier_rows,
                     "seen_base_round": seen_base,
+                    "seen_rows": seen_rows,
                 },
                 f,
             )
@@ -215,22 +226,41 @@ class FrontierCrawl:
     # ---------------- one round ----------------
 
     def run_round(self, rnd: int) -> RoundMetrics:
+        """One crawl round in THREE Spark actions (plus the tiny metrics
+        write): schedule write, seen-delta write, and the frontier write that
+        streams fetch→extract→canonicalize→robots→dedup→merge end-to-end.
+        Every counter is an ``observe()`` metric riding those passes — the
+        round-1 design ran ~10 extra ``.count()`` jobs per round, which at a
+        10k-round crawl is the dominant scheduler overhead."""
         spark = self.spark
         m = RoundMetrics(round=rnd)
         frontier = spark.read.parquet(self._p("frontier", rnd))
+        to_unpersist: list[DataFrame] = []
 
         # one-pass politeness output: single winner broadcast; scheduled and
         # spilled are filters over the same cached frame (at cluster scale
         # this frame is written once, partitioned by the scheduled flag)
-        joined = schedule_round_combined(frontier, self.politeness, self.salt_k).cache()
+        obs_round = Observation()
+        joined = (
+            schedule_round_combined(
+                frontier, self.politeness, self.salt_k, cache_registry=to_unpersist
+            )
+            .observe(
+                obs_round,
+                F.count(F.lit(1)).alias("n_frontier_rows"),
+                F.count("seq").alias("n_scheduled"),
+            )
+            .cache()
+        )
+        to_unpersist.append(joined)
         scheduled = joined.filter(F.col("seq").isNotNull())
         spilled = (
             joined.filter(F.col("seq").isNull())
             .drop("seq")
             .withColumn("priority", F.col("priority") + F.lit(1))
         )
-        m.scheduled = scheduled.count()
 
+        # action 1 — schedule write; materializes the cache, fires obs_round
         (
             scheduled.select(
                 F.lit(rnd).alias("round"), "seq", "url_key", "url", "host",
@@ -239,6 +269,10 @@ class FrontierCrawl:
             .coalesce(1)  # Σ budgets rows — small by construction
             .write.mode("overwrite").parquet(self._p("schedule", rnd))
         )
+        m.scheduled = int(obs_round.get["n_scheduled"])
+        m.spilled = int(obs_round.get["n_frontier_rows"]) - m.scheduled
+
+        # action 2 — seen delta write (reads the joined cache)
         (
             scheduled.select("url_key", "url_hash", F.lit(rnd).alias("first_round"))
             .write.mode("overwrite").parquet(self._p("seen", rnd))
@@ -246,26 +280,42 @@ class FrontierCrawl:
 
         # fetch: scheduled ∩ corpus (semi-join on the sorted key)
         docs = self._docs_keyed()
+        obs_fetch = Observation()
         fetched = docs.join(
             F.broadcast(scheduled.select("url_key")), "url_key", "left_semi"
-        ).cache()
-        m.records = fetched.count()
-        m.html_pages = fetched.filter(F.col("mime_type").isin("text/html", "application/xhtml+xml")).count()
+        ).observe(
+            obs_fetch,
+            F.count(F.lit(1)).alias("records"),
+            F.coalesce(
+                F.sum(
+                    F.col("mime_type")
+                    .isin("text/html", "application/xhtml+xml")
+                    .cast("long")
+                ),
+                F.lit(0),
+            ).alias("html_pages"),
+        )
 
         links = extract_links(fetched.drop("url_key", "host", "url_hash"))
-        m.links = links.count()
 
+        obs_cand = Observation()
         cand = canonicalize_candidates(
             links.select(F.col("dst_url").alias("url")), "url"
+        ).observe(
+            obs_cand,
+            F.count(F.lit(1)).alias("links"),
+            F.coalesce(F.sum(F.col("url_key").isNull().cast("long")), F.lit(0)).alias(
+                "invalid"
+            ),
         )
-        m.invalid_urls = cand.filter(F.col("url_key").isNull()).count()
         cand = cand.filter(F.col("url_key").isNotNull())
-        n_before_robots = cand.count()
-        cand = apply_robots(cand, self.robots).cache()
-        n_after_robots = cand.count()
-        m.robots_blocked = n_before_robots - n_after_robots
+        obs_robots = Observation()
+        cand = apply_robots(cand, self.robots).observe(
+            obs_robots, F.count(F.lit(1)).alias("after_robots")
+        )
 
         # batch-level dedup (per-page + cross-page within the round)
+        obs_uniq = Observation()
         cand = (
             cand.groupBy("url_key")
             .agg(
@@ -275,8 +325,8 @@ class FrontierCrawl:
             )
             .withColumn("priority", F.lit(0))
             .withColumn("discovered_round", F.lit(rnd + 1))
+            .observe(obs_uniq, F.count(F.lit(1)).alias("unique"))
         )
-        n_unique = cand.count()
 
         # URL-seen gate: Bloom prefilter + exact anti-join (incl. this round)
         seen = self._seen(rnd)
@@ -285,8 +335,14 @@ class FrontierCrawl:
         elif self.bloom_mode == "jvm":
             # stateless per-round build: one distributed partial-agg pass
             # over the committed seen deltas (checkpoint-friendly — resume
-            # needs no filter state)
-            n_seen = seen.count()
+            # needs no filter state). Sizing comes from the manifest's
+            # running seen_rows counter (deltas are disjoint by the seen
+            # gate itself), not a per-round count() job.
+            mft = self.load_manifest() or {}
+            n_seen = mft.get("seen_rows")
+            if n_seen is None:  # legacy manifest — count once
+                n_seen = self._seen(rnd - 1).count() if rnd > 0 else 0
+            n_seen += m.scheduled
             bloom = build_bloom_jvm(seen, max(n_seen * 2, 4096), self.bloom_fpp)
         else:
             if self._bloom is None:
@@ -295,14 +351,17 @@ class FrontierCrawl:
                 newly = build_bloom(scheduled.select("url_key"), self._bloom.params)
                 self._bloom = _merge_blooms(self._bloom, newly)
             bloom = self._bloom
-        fresh, maybe = dedup_against_seen(spark, cand, seen, bloom)
-        fresh = fresh.cache()
-        n_fresh = fresh.count()
-        m.bloom_hits = maybe.count() if bloom is not None else 0
-        m.dedup_hits = n_unique - n_fresh
+        obs_dedup = Observation()
+        fresh, _maybe = dedup_against_seen(
+            spark, cand, seen, bloom,
+            observation=obs_dedup, cache_registry=to_unpersist,
+        )
+        obs_fresh = Observation()
+        fresh = fresh.observe(obs_fresh, F.count(F.lit(1)).alias("n_fresh"))
 
         # next frontier = merge(spill, fresh); key-level merge keeps max
         # priority and the earliest discovery round
+        obs_frontier = Observation()
         merged = (
             spilled.select("url_key", "url", "host", "url_hash", "priority", "discovered_round")
             .unionByName(fresh.select("url_key", "url", "host", "url_hash", "priority", "discovered_round"))
@@ -314,21 +373,34 @@ class FrontierCrawl:
                 F.max("priority").alias("priority"),
                 F.min("discovered_round").alias("discovered_round"),
             )
-        ).cache()
-        n_frontier = merged.count()
-        m.spilled = spilled.count()
+            .observe(obs_frontier, F.count(F.lit(1)).alias("n_frontier"))
+        )
+        # action 3 — frontier write; the whole chain above streams through
+        # it once, firing obs_fetch/obs_cand/obs_robots/obs_uniq/obs_dedup/
+        # obs_fresh/obs_frontier
         merged.write.mode("overwrite").parquet(self._p("frontier", rnd + 1))
+
+        m.records = int(obs_fetch.get["records"])
+        m.html_pages = int(obs_fetch.get["html_pages"])
+        m.links = int(obs_cand.get["links"])
+        m.invalid_urls = int(obs_cand.get["invalid"])
+        m.robots_blocked = (
+            m.links - m.invalid_urls - int(obs_robots.get["after_robots"])
+        )
+        m.dedup_hits = int(obs_uniq.get["unique"]) - int(obs_fresh.get["n_fresh"])
+        m.bloom_hits = int(obs_dedup.get["bloom_hits"])
+        n_frontier = int(obs_frontier.get["n_frontier"])
 
         spark.createDataFrame([vars(m)]).coalesce(1).write.mode("overwrite").parquet(
             self._p("metrics", rnd)
         )
         new_base = self._maybe_compact_seen(rnd)
-        self._commit(rnd, n_frontier, seen_base=new_base)
-        for df in (joined, fetched, cand, fresh, merged):
+        self._commit(rnd, n_frontier, seen_base=new_base, scheduled_delta=m.scheduled)
+        # unpersist exactly this round's intermediates (winner set, joined,
+        # probe pass) — never clearCache(), which would drop caller-owned
+        # caches in the shared session
+        for df in to_unpersist:
             df.unpersist()
-        # dedup_against_seen and add_global_seq cache intermediates they
-        # cannot unpersist themselves; every round output is already on disk
-        spark.catalog.clearCache()
         return m
 
     # ---------------- full runs ----------------

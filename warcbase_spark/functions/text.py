@@ -66,6 +66,42 @@ def quality_score(text: Column) -> Column:
     return F.round((len_score + sw_score + p_score) / F.lit(3.0), 6)
 
 
+def quality_milli(text: Column) -> Column:
+    """``quality_score`` in integer milli fixed-point (0..1000), pure
+    integer arithmetic end-to-end so a DuckDB oracle can mirror it exactly
+    (no float fold-order / rounding divergence across engines).
+
+    Components (each 0..1000, combined by integer-div-3):
+      len   = min(ntok * 10, 1000)                      # saturates at 100 tokens
+      sw    = min(stopword_hits * 4000 div ntoks, 1000) # ×4 boost, saturated
+      punct = 1000 - min(punct_chars * 4000 div nchars, 1000)
+    """
+    def idiv(a: Column, b: Column) -> Column:
+        # floor(a/b) == a div b for non-negative ints; exact below 2^53
+        # (all operands here ≤ ~10^8). DuckDB mirror: CAST(floor(a/b) AS BIGINT).
+        return F.floor(a / b).cast("long")
+
+    t = normalize_ws(text)
+    ntok = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " "))).cast("long")
+    len_m = F.least(ntok * 10, F.lit(1000).cast("long"))
+
+    sw = ["the", "a", "and", "of", "to", "in", "is"]
+    toks = F.split(F.lower(t), " ")
+    hits = F.size(F.filter(toks, lambda x: x.isin(sw))).cast("long")
+    denom = F.size(toks).cast("long")
+    sw_m = F.when(denom > 0, F.least(idiv(hits * 4000, denom), F.lit(1000).cast("long"))).otherwise(
+        F.lit(0).cast("long")
+    )
+
+    nchars = F.length(text).cast("long")
+    punct = (nchars - F.length(F.regexp_replace(text, r"[^\w\s]", "")).cast("long"))
+    p_m = F.lit(1000).cast("long") - F.when(
+        nchars > 0, F.least(idiv(punct * 4000, nchars), F.lit(1000).cast("long"))
+    ).otherwise(F.lit(0).cast("long"))
+
+    return idiv(len_m + sw_m + p_m, F.lit(3))
+
+
 def detect_language(text: Column) -> Column:
     """Heuristic n-gram/stopword language ID over the fixture languages
     (maps the reference's Tika LanguageIdentifier, DetectLanguage.scala:22-25).
@@ -84,24 +120,5 @@ def fingerprint(text: Column) -> Column:
     Stable under reflow — the exact-dedup key."""
     return F.md5(F.lower(normalize_ws(text)))
 
-
-def sim_hash16(text: Column) -> Column:
-    """16-bit SimHash over word tokens, built from md5-derived per-token bits
-    so the identical computation is expressible in DuckDB SQL.
-
-    For each token t: h(t) = first 4 hex chars of md5(t) as a 16-bit int.
-    Bit b of the output is 1 iff tokens with bit b set outnumber those
-    without. Near-duplicate docs differ in few bits (hamming distance).
-    """
-    toks = word_tokens(text)
-    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"))
-    bits = []
-    for b in range(16):
-        mask = 1 << b
-        ones = F.size(F.filter(th, lambda h: h.bitwiseAND(F.lit(mask)) != 0))
-        vote = F.when(ones * 2 > F.size(th), F.lit(mask)).otherwise(F.lit(0))
-        bits.append(vote)
-    out = bits[0]
-    for v in bits[1:]:
-        out = out + v
-    return out.cast("long")
+# NOTE: the SimHash fingerprint lives in operators/dedup.py (simhash16_col);
+# a near-duplicate copy that used to live here was removed (VERDICT r1 #3).

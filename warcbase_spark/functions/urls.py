@@ -258,8 +258,12 @@ def url_hash_col(url_key: Column) -> Column:
 def fast_key_eligible_col(url: Column) -> Column:
     rest = F.regexp_replace(url, r"^[a-z]+://", "")
     host = F.split(rest, "/").getItem(0)
+    # \z (Java regex) = absolute end of input: `$` would match before a
+    # trailing '\n', letting "http://a.com\n" onto the fast path with a
+    # corrupt key/host while the slow path strips it — breaking the
+    # fast/slow equivalence contract (seen-set dedup + politeness joins).
     return (
-        url.rlike(r"^(http|https|ftp)://[a-z0-9][a-z0-9._\-]*(/[^\s?#%]*)?$")
+        url.rlike(r"^(http|https|ftp)://[a-z0-9][a-z0-9._\-]*(/[^\s?#%]*)?\z")
         & ~host.contains("..")
         & ~host.endswith(".")
         & ~rest.rlike(r"//|/\./|/\.\./")
@@ -288,7 +292,9 @@ _CANON_STRUCT = T.StructType(
     [T.StructField("url_key", T.StringType()), T.StructField("host", T.StringType())]
 )
 
-_ELIG_RE = re.compile(r"^(http|https|ftp)://[a-z0-9][a-z0-9._\-]*(/[^\s?#%]*)?$")
+# \Z = absolute end (Python): `$` would match before a trailing newline,
+# admitting "http://a.com\n" to the fast path (see fast_key_eligible_col).
+_ELIG_RE = re.compile(r"^(http|https|ftp)://[a-z0-9][a-z0-9._\-]*(/[^\s?#%]*)?\Z")
 
 
 def canonical_batch(urls: pd.Series) -> pd.DataFrame:
@@ -319,7 +325,7 @@ def canonical_batch(urls: pd.Series) -> pd.DataFrame:
             | path.str.endswith("/..")
         )
         ok = elig.copy()
-        ok[elig] = ~bad
+        ok.loc[bad.index[bad]] = False  # bool-into-bool; no dtype-upcast setitem
         if ok.any():
             h = host[~bad]
             rev = h.map(lambda x: ".".join(reversed(x.split("."))))

@@ -5,10 +5,10 @@ Media payloads are opaque ``binary`` columns with a typed metadata struct
 analogue is ``getImageBytes``/``ComputeImageSize``, ArcRecord.scala:24-31,
 ComputeImageSize.scala:10-24). Decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over ``mapInPandas`` —
-the Spark-side contract (schema, batch iteration, partitioning) is real;
-the actual codec is stubbed because this container ships no image/audio
-libraries: ``mode='real'`` raises NotImplementedError unless PIL is
-importable, ``mode='fake'`` applies a deterministic byte-arithmetic decode
+the Spark-side contract (schema, batch iteration, partitioning) is real.
+``mode='real'`` decodes via Pillow when importable (decode failure → (0,0),
+matching ComputeImageSize.scala:10-24) and raises NotImplementedError when
+it is not; ``mode='fake'`` applies a deterministic byte-arithmetic decode
 that tests and DuckDB oracles can mirror exactly.
 """
 
@@ -49,17 +49,41 @@ def _require_pil():
         )
 
 
+def _real_decode(buf: bytes) -> tuple[int | None, int | None, int | None]:
+    """PIL decode: (width, height, head_sum). Reference semantics: decode
+    failure → (0, 0) rather than an error (ComputeImageSize.scala:10-24
+    returns (0, 0) on any exception)."""
+    import io
+
+    import PIL.Image
+
+    try:
+        with PIL.Image.open(io.BytesIO(buf)) as im:
+            w, h = im.size
+    except Exception:
+        w, h = 0, 0
+    return w, h, sum(buf[:8].ljust(8, b"\x00"))
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id", mode: str = "fake") -> DataFrame:
     """binary payload → (doc_id, n_bytes, width, height, head_sum) via
-    mapInPandas (Arrow batches; one Python stage)."""
+    mapInPandas (Arrow batches; one Python stage).
+
+    mode='fake': deterministic byte-arithmetic decode (DuckDB-mirrorable —
+    the oracle mode). mode='real': PIL decode per payload, (0,0) on decode
+    failure per the reference's ComputeImageSize.scala:10-24; raises
+    NotImplementedError at plan time when Pillow is absent."""
     if mode == "real":
         _require_pil()
+    elif mode != "fake":
+        raise ValueError(f"decode_media mode must be 'fake' or 'real', got {mode!r}")
+    decode = _real_decode if mode == "real" else _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[payload_col]
-            dims = [(_fake_decode(p) if p is not None else (None, None, None)) for p in payloads]
+            dims = [(decode(p) if p is not None else (None, None, None)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype(str),

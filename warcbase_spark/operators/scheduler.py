@@ -40,15 +40,21 @@ def add_global_seq(df: DataFrame, order: list, out_col: str = "seq") -> DataFram
     Requires the order to be a strict total order (here url_key is unique
     within a round), so the result is independent of partition boundaries.
 
-    The ranged intermediate is cached: range-boundary sampling (and AQE
-    coalescing) are not stable across re-evaluations, so the counts pass and
-    the final pass must see the SAME physical row placement.
+    The ranged intermediate is localCheckpoint'ed (eager), not cache()'d:
+    range-boundary sampling (and AQE coalescing) are not stable across
+    re-evaluations, so the counts pass and the final pass must see the SAME
+    physical row placement. A cache can be silently evicted and recomputed
+    with different boundaries → wrong/duplicate seq values; a checkpoint
+    truncates lineage so recomputation is impossible (on executor loss the
+    job fails loudly and retries rather than mis-stamping). On a real
+    cluster the durable variant is a checkpoint dir / parquet round-trip —
+    the production crawl loop already persists rounds to parquet.
     """
     ranged = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .cache()
+        .localCheckpoint(eager=True)
     )
     pid = F.shiftright("_mid", 33).cast("int")
     counts = {
@@ -85,6 +91,7 @@ def schedule_round_combined(
     politeness: DataFrame,
     salt_k: int = DEFAULT_SALT_K,
     with_seq: bool = True,
+    cache_registry: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """One-pass variant: candidate columns + nullable ``seq`` (non-null =
     scheduled this round). Consuming THIS frame once — e.g. a single
@@ -92,7 +99,10 @@ def schedule_round_combined(
     one winner-broadcast build and one streaming pass over the candidates;
     materializing `scheduled` and `spilled` as separate queries builds the
     broadcast twice (measured ~10s serial per round at 1M winners)."""
-    scheduled, _ = schedule_round(candidates, politeness, salt_k, with_seq, _combined=True)
+    scheduled, _ = schedule_round(
+        candidates, politeness, salt_k, with_seq, _combined=True,
+        cache_registry=cache_registry,
+    )
     return scheduled
 
 
@@ -102,6 +112,7 @@ def schedule_round(
     salt_k: int = DEFAULT_SALT_K,
     with_seq: bool = True,
     _combined: bool = False,
+    cache_registry: "list[DataFrame] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (scheduled, spilled).
 
@@ -145,6 +156,8 @@ def schedule_round(
     else:
         winners = winners.select("url_key", F.lit(0).alias("seq"))
     winners = winners.cache()
+    if cache_registry is not None:
+        cache_registry.append(winners)
 
     # winner set is Σ budgets rows — ONE broadcast left join over the
     # full-width candidates covers both outputs (matched → scheduled,

@@ -171,7 +171,12 @@ def probe_bloom_jvm(df: DataFrame, bloom_bytes: bytes, key_col: str = "url_key",
                     out_col: str = "maybe_seen") -> DataFrame:
     """Membership test fully inside the JVM (BloomFilterMightContain — the
     expression Spark's own runtime-filter rewrite uses; public Spark source,
-    sql/catalyst). No Python worker in the probe."""
+    sql/catalyst). No Python worker in the probe.
+
+    Requires classic (non-Connect) PySpark 4.x: bridges through
+    ``org.apache.spark.sql.classic.ExpressionUtils``, which is version-locked
+    internals. Callers (``dedup_against_seen``) catch failures and fall back
+    to the exact anti-join, so other deployments degrade, not crash."""
     from pyspark.sql.column import Column as PyCol
 
     jvm = df.sparkSession._jvm
@@ -190,6 +195,8 @@ def dedup_against_seen(
     seen: DataFrame,
     bloom: "ShardedBloom | bytes | None",
     key_col: str = "url_key",
+    observation=None,
+    cache_registry: "list[DataFrame] | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Exact URL-seen dedup with Bloom prefilter.
 
@@ -198,17 +205,54 @@ def dedup_against_seen(
     growing crawl); Bloom positives are verified with a left_anti join so
     false positives cannot drop URLs — exact semantics of the reference's
     ``fst.getID(url) != -1`` gate (ExtractLinksWac.java:159,177).
+
+    ``observation``: optional pyspark.sql.Observation; when given, a
+    ``bloom_hits`` metric (count of Bloom-positive rows) is attached to the
+    probe pass so callers get the counter for free on their next action
+    instead of paying a separate ``.count()`` job. Attached on EVERY path
+    (0 when there is no bloom) so ``observation.get`` never blocks.
+    ``cache_registry``: optional list the probe-pass cache is appended to,
+    so the caller can unpersist exactly this round's intermediates (never
+    ``spark.catalog.clearCache()``, which would drop caller-owned caches).
     """
+
+    def _observe_zero(df: DataFrame) -> DataFrame:
+        if observation is None:
+            return df
+        return df.observe(observation, F.max(F.lit(0)).alias("bloom_hits"))
+
     if bloom is None:
-        return candidates.join(seen.select(key_col), key_col, "left_anti"), candidates.limit(0)
+        return (
+            _observe_zero(candidates).join(seen.select(key_col), key_col, "left_anti"),
+            candidates.limit(0),
+        )
 
     # Materialize the probe ONCE: both output branches consume it, and an
     # uncached plan would re-run the whole canonicalize+probe lineage (all
     # Arrow UDF passes) per branch.
     if isinstance(bloom, (bytes, bytearray)):
-        probed = probe_bloom_jvm(candidates, bloom, key_col).cache()
+        try:
+            probed = probe_bloom_jvm(candidates, bloom, key_col)
+        except Exception:
+            # JVM bridge unavailable (Spark Connect, or the 'classic'
+            # internals moved in a future Spark) → exact anti-join, which is
+            # always correct, just without the prefilter speedup.
+            return (
+                _observe_zero(candidates).join(seen.select(key_col), key_col, "left_anti"),
+                candidates.limit(0),
+            )
     else:
-        probed = probe_bloom(spark, candidates, bloom, key_col).cache()
+        probed = probe_bloom(spark, candidates, bloom, key_col)
+    if observation is not None:
+        probed = probed.observe(
+            observation,
+            F.coalesce(
+                F.sum(F.col("maybe_seen").cast("long")), F.lit(0)
+            ).alias("bloom_hits"),
+        )
+    probed = probed.cache()
+    if cache_registry is not None:
+        cache_registry.append(probed)
     definitely_fresh = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_fresh = maybe.join(seen.select(key_col), key_col, "left_anti")

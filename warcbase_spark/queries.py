@@ -23,7 +23,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from warcbase_spark.functions.text import detect_language, fingerprint, quality_score, token_count
+from warcbase_spark.functions.text import (
+    detect_language,
+    fingerprint,
+    quality_milli,
+    token_count,
+)
 from warcbase_spark.operators.count_items import count_items
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -740,15 +745,39 @@ def dedup_exact(spark, sf_dir):
 
 @query(
     "quality_by_source",
-    None,  # quality_score mixes several fp ops; checked rows-only by driver
+    """
+    WITH q AS (
+      SELECT source,
+        CASE WHEN trim(regexp_replace(text,'\\s+',' ','g')) = '' THEN 0
+             ELSE len(string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ')) END AS ntok,
+        len(list_filter(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' '),
+            x -> x IN ('the','a','and','of','to','in','is'))) AS hits,
+        len(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS denom,
+        length(text) AS nchars,
+        length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct
+      FROM documents
+    ), m AS (
+      SELECT source,
+        least(ntok*10, 1000) AS len_m,
+        CASE WHEN denom > 0 THEN least(CAST(floor(hits*4000.0/denom) AS BIGINT), 1000) ELSE 0 END AS sw_m,
+        1000 - CASE WHEN nchars > 0 THEN least(CAST(floor(punct*4000.0/nchars) AS BIGINT), 1000) ELSE 0 END AS p_m
+      FROM q
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CAST(floor((len_m+sw_m+p_m)/3.0) AS BIGINT)) AS BIGINT) AS quality_milli_sum
+    FROM m GROUP BY source ORDER BY source
+    """,
 )
 def quality_by_source(spark, sf_dir):
+    """Quality scoring in integer milli fixed-point (0..1000) — pure integer
+    arithmetic end-to-end so the DuckDB oracle hash-matches exactly
+    (the float ``quality_score`` variant is kept for interactive use)."""
     d = _t(spark, sf_dir, "documents")
     return (
         d.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.round(quality_score(F.col("text")) * 1000, 0).cast("long")).alias("quality_milli_sum"),
+            F.sum(quality_milli(F.col("text"))).alias("quality_milli_sum"),
         )
         .orderBy("source")
     )
@@ -1315,9 +1344,17 @@ def anchor_count_nested(spark, sf_dir):
         .groupBy("month", "src_domain", "anchor")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    # Sort structs by anchor (unique within the group), THEN serialize:
+    # sorting the concatenated 'anchor:c' strings would diverge from the
+    # oracle's ORDER BY anchor when one anchor is a prefix of another and
+    # the next char sorts below ':' (ADVICE r1).
     return inner.groupBy("month", "src_domain").agg(
         F.array_join(
-            F.array_sort(F.collect_list(F.concat_ws(":", "anchor", "c"))), ","
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("anchor", "c"))),
+                lambda s: F.concat_ws(":", s["anchor"], s["c"]),
+            ),
+            ",",
         ).alias("anchor_counts")
     )
 
