@@ -193,6 +193,29 @@ def make_web_corpus(
     return c
 
 
+def render_spans_html(spans: list[dict]) -> str:
+    """Render a span sequence to an HTML page (text→<p>, link→<a>,
+    media→<img>) — the inverse of functions.htmlparse.html_to_spans for
+    well-formed corpora. Used to exercise the HTML parser against ground
+    truth: html_to_spans(render_spans_html(spans)) must reproduce the span
+    sequence exactly (the north rule's (kind, text, media_ref, order)
+    invariant)."""
+    import html as _html
+
+    parts = ["<html><body>"]
+    for s in spans:
+        if s["kind"] == "text":
+            parts.append(f"<p>{_html.escape(s['text'])}</p>")
+        elif s["kind"] == "link":
+            parts.append(
+                f'<a href="{_html.escape(s["media_ref"], quote=True)}">{_html.escape(s["text"])}</a>'
+            )
+        else:
+            parts.append(f'<img src="{_html.escape(s["media_ref"], quote=True)}">')
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Parquet writers (pyarrow; identical bytes for Spark jobs, tests, simulator)
 # ---------------------------------------------------------------------------

@@ -7,6 +7,11 @@ Our input table pre-materializes document structure as interleaved spans
 ``explode`` + filter on ``kind`` — no parser, no Python, full
 WholeStageCodegen, and the filter on kind prunes before the shuffle.
 
+Corpora that arrive as RAW HTML enter through ``spans_from_html`` (an
+Arrow-vectorized parse — functions/htmlparse.py — run ONCE at ingest);
+every downstream operator then stays on the parsed-span fast path instead
+of re-parsing HTML per query the way the reference does.
+
 Per-row invariant: ``spans`` ordered by ``offset`` carries the exact
 (kind, text, media_ref, order) sequence of the source document; these
 operators only project/filter it, never reorder it.
@@ -16,6 +21,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def spans_from_html(
+    docs: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Raw-HTML ingestion: parse ``html_col`` into the interleaved span
+    model (relative refs resolved against ``url_col``), drop the raw HTML.
+    One Arrow UDF pass at ingest — the write side of the Iceberg/Parquet
+    documents table; everything downstream is Column-only."""
+    from warcbase_spark.functions.htmlparse import html_to_spans_udf
+
+    return docs.withColumn(
+        "spans", html_to_spans_udf(F.col(url_col), F.col(html_col))
+    ).drop(html_col)
 
 
 def exploded_spans(docs: DataFrame, kinds: list[str] | None = None) -> DataFrame:

@@ -1512,3 +1512,125 @@ def robots_filtering(spark, sf_dir):
     )
     cand = web_docs(spark, sf_dir).select("url_key", "host")
     return apply_robots(cand, robots)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 HTML extraction (X2 ExtractLinks / X3 ExtractImageLinks / X8
+# RemoveHTML) over RAW HTML — pages are rendered JVM-side from the derived
+# web (deterministic Column expressions the oracle mirrors as string
+# concatenation), then parsed back by the stdlib-HTML-parser Arrow UDFs, so
+# the oracle checks parse(render(ground_truth)) == ground_truth end-to-end.
+# ---------------------------------------------------------------------------
+
+def _html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, url, html): one rendered page per document — a <p> of the
+    doc text, a root-relative <img>, the doc's outlinks as <a> (ordered by
+    j), one page-relative <a> (exercises base resolution), and an absolute
+    CDN <img>."""
+    w = web_docs(spark, sf_dir)
+    lk = web_links(spark, sf_dir).select("src_id", "j", "dst_url", "anchor")
+    links_html = lk.groupBy("src_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "dst_url", "anchor"))),
+                lambda s: F.concat(
+                    F.lit('<a href="'), s["dst_url"], F.lit('">'), s["anchor"], F.lit("</a>")
+                ),
+            ),
+            " ",
+        ).alias("links_html")
+    )
+    sid = F.col("doc_id").cast("string")
+    return (
+        w.join(links_html, w["doc_id"] == links_html["src_id"], "left")
+        .select(
+            "doc_id",
+            "url",
+            F.concat(
+                F.lit("<html><body><p>"), F.col("text"), F.lit("</p>"),
+                F.lit('<img src="/i/'), sid, F.lit('.png"> '),
+                F.coalesce("links_html", F.lit("")),
+                F.lit(' <a href="r/'), sid, F.lit('.html">rel</a>'),
+                F.lit('<img src="http://cdn.example.net/c/'), sid, F.lit('.gif">'),
+                F.lit("</body></html>"),
+            ).alias("html"),
+        )
+    )
+
+
+@query(
+    "html_extract_links",
+    _WEB_CTE
+    + """
+    SELECT src_id AS doc_id, CAST(j - 1 AS INT) AS pos, dst_url AS target, anchor
+    FROM links
+    UNION ALL
+    SELECT doc_id, CAST(1 + doc_id % 3 AS INT) AS pos,
+           'http://www.' || source || '.example.com/d/r/' || doc_id || '.html' AS target,
+           'rel' AS anchor
+    FROM w
+    """,
+)
+def html_extract_links(spark, sf_dir):
+    """X2 ExtractLinks over raw HTML (ExtractLinks.scala:37-61 semantics:
+    a[href] targets resolved against the page url, anchor text normalized;
+    the page-relative 'r/{id}.html' link proves base resolution)."""
+    from warcbase_spark.functions.htmlparse import extract_links_udf
+
+    pages = _html_pages(spark, sf_dir)
+    return pages.select(
+        "doc_id",
+        F.posexplode(extract_links_udf(F.col("url"), F.col("html"))).alias("pos", "lk"),
+    ).select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("lk.target").alias("target"),
+        F.col("lk.anchor").alias("anchor"),
+    )
+
+
+@query(
+    "html_image_links",
+    _WEB_CTE
+    + """
+    SELECT doc_id, CAST(0 AS INT) AS pos,
+           'http://www.' || source || '.example.com/i/' || doc_id || '.png' AS img
+    FROM w
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT) AS pos,
+           'http://cdn.example.net/c/' || doc_id || '.gif' AS img
+    FROM w
+    """,
+)
+def html_image_links(spark, sf_dir):
+    """X3 ExtractImageLinks over raw HTML (ExtractImageLinks.scala:36-54:
+    img[src] resolved against the page url; the root-relative '/i/…' img
+    proves authority-preserving resolution)."""
+    from warcbase_spark.functions.htmlparse import extract_image_links_udf
+
+    pages = _html_pages(spark, sf_dir)
+    return pages.select(
+        "doc_id",
+        F.posexplode(extract_image_links_udf(F.col("url"), F.col("html"))).alias("pos", "img"),
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "img")
+
+
+@query(
+    "html_remove_text",
+    _WEB_CTE
+    + """
+    SELECT w.doc_id,
+           trim(regexp_replace(w.text, '\\s+', ' ', 'g')) || ' ' ||
+           string_agg(l.anchor, ' ' ORDER BY l.j) || ' rel' AS text_clean
+    FROM w JOIN links l ON l.src_id = w.doc_id
+    GROUP BY w.doc_id, w.text
+    """,
+)
+def html_remove_text(spark, sf_dir):
+    """X8 RemoveHTML over raw HTML (RemoveHTML.scala:23-31 = jsoup .text():
+    visible text incl. anchor text, whitespace-collapsed; script/style and
+    markup dropped)."""
+    from warcbase_spark.functions.htmlparse import remove_html_udf
+
+    pages = _html_pages(spark, sf_dir)
+    return pages.select("doc_id", remove_html_udf(F.col("html")).alias("text_clean"))
