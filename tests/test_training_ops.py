@@ -55,26 +55,50 @@ def test_simhash_deterministic_and_equal_for_dups(spark):
 
 
 def test_ann_topk_matches_numpy_within_bucket(spark):
-    from warcbase_spark.operators.similarity import ann_topk, sign_bucket, as_double
+    from warcbase_spark.operators.similarity import ann_topk, hyperplane_signs
 
     rng = np.random.RandomState(7)
     vecs = rng.randn(40, 8).astype("float32")
     rows = [(i, [float(x) for x in vecs[i]], 0) for i in range(40)]
     e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
-    got = ann_topk(e, query_id=0, k=5, n_bits=4).collect()
+
+    q = vecs[0].astype("float64")
+
+    def cos_top5(cands):
+        sims = sorted(
+            ((round(float(np.dot(vecs[i].astype("float64"), q) /
+                          (np.linalg.norm(vecs[i].astype("float64")) * np.linalg.norm(q))), 3), i)
+             for i in cands),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        return [(i, s) for s, i in sims]
+
+    # legacy sign-bucket path
+    got = ann_topk(e, query_id=0, k=5, n_bits=4, use_hyperplanes=False).collect()
 
     def bucket(v):
         return sum((1 << i) for i in range(4) if v[i] >= 0)
 
-    q = vecs[0].astype("float64")
     cands = [i for i in range(1, 40) if bucket(vecs[i]) == bucket(vecs[0])]
-    sims = sorted(
-        ((round(float(np.dot(vecs[i].astype("float64"), q) /
-                      (np.linalg.norm(vecs[i].astype("float64")) * np.linalg.norm(q))), 3), i)
-         for i in cands),
-        key=lambda t: (-t[0], t[1]),
-    )[:5]
-    assert [(r["vec_id"], r["sim"]) for r in got] == [(i, s) for s, i in sims]
+    assert [(r["vec_id"], r["sim"]) for r in got] == cos_top5(cands)
+
+    # seeded hyperplane path, 2-table multi-probe, numpy-mirrored buckets
+    got_hp = ann_topk(
+        e, query_id=0, k=5, n_bits=4, dim=8, seeds=(7, 101), use_hyperplanes=True
+    ).collect()
+
+    def hp_bucket(v, seed):
+        signs = hyperplane_signs(4, 8, seed)
+        qv = np.round(v.astype("float64") * 1e6).astype("int64")
+        return sum(
+            (1 << i) for i in range(4) if int(np.dot(qv, np.array(signs[i]))) >= 0
+        )
+
+    cands_hp = [
+        i for i in range(1, 40)
+        if any(hp_bucket(vecs[i], s) == hp_bucket(vecs[0], s) for s in (7, 101))
+    ]
+    assert [(r["vec_id"], r["sim"]) for r in got_hp] == cos_top5(cands_hp)
 
 
 def test_multimodal_decode_fake_and_real_gate(spark):
@@ -115,6 +139,70 @@ def test_multimodal_decode_real(spark):
     got = {r["doc_id"]: (r["width"], r["height"]) for r in decode_media(d, mode="real").collect()}
     assert got["ok"] == (3, 2)
     assert got["bad"] == (0, 0)
+
+
+def test_lsh_hot_bucket_guards(spark):
+    """Pathological corpus: 1000 near-identical boilerplate docs all land in
+    one LSH bucket / share every shingle. Ungated this is ~500k candidate
+    pairs (quadratic); with the guards the candidate count must stay
+    sub-quadratic (VERDICT r1: the 100 TB requirement)."""
+    from warcbase_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        rare_shingles,
+    )
+
+    n = 1000
+    docs = spark.range(n).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit("click here to read the terms and conditions of this site now").alias("text"),
+    )
+    sh = doc_shingles(docs)
+    sigs = minhash_signatures(sh, 8)
+
+    cap = 50
+    dropped = lsh_candidate_pairs(sigs, 8, bucket_cap=cap, cap_mode="drop").count()
+    assert dropped == 0  # the single boilerplate bucket is removed entirely
+
+    split = lsh_candidate_pairs(sigs, 8, bucket_cap=cap, cap_mode="split").count()
+    # split mode keeps within-sub-bucket pairs only: ≤ n_sub · cap² per band
+    assert 0 < split <= n * cap  # vs n*(n-1)/2 ≈ 500k ungated
+    with pytest.raises(ValueError):
+        lsh_candidate_pairs(sigs, 8, bucket_cap=cap, cap_mode="bogus")
+
+    # shingle df-cap: every shingle has df == n > max_df → no candidates
+    assert rare_shingles(sh, max_df=cap).count() == 0
+    # benign corpus untouched: distinct texts → df == 1 ≤ cap
+    benign = doc_shingles(
+        spark.range(20).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.concat(F.lit("unique words for document number "), F.col("id").cast("string"),
+                     F.lit(" padding tail tokens here")).alias("text"),
+        )
+    )
+    assert rare_shingles(benign, max_df=cap).count() == benign.count()
+
+
+def test_hyperplane_bucket_guard_and_portability(spark):
+    """Hyperplane buckets: seeded determinism + hot-bucket drop guard keeps
+    a one-bucket corpus from quadratic candidate generation."""
+    import numpy as np
+
+    from warcbase_spark.operators.similarity import bucketed_neighbors, hyperplane_signs
+
+    assert hyperplane_signs(4, 8, seed=7) == hyperplane_signs(4, 8, seed=7)
+    assert hyperplane_signs(4, 8, seed=7) != hyperplane_signs(4, 8, seed=8)
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=16)
+    rows = [(i, (base + rng.normal(scale=1e-3, size=16)).astype("float32").tolist())
+            for i in range(400)]  # all ~identical → one bucket
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    guarded = bucketed_neighbors(e, n_bits=6, dim=16, bucket_cap=50).count()
+    assert guarded == 0  # hot bucket dropped, never a 80k-pair self-join
+    unguarded = bucketed_neighbors(e, n_bits=6, dim=16, bucket_cap=None).limit(1).count()
+    assert unguarded == 1  # sanity: without the guard the bucket does pair
 
 
 def test_frame_sample_plan(spark):

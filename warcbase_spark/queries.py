@@ -873,7 +873,7 @@ sigs AS (
     + """
   FROM sh GROUP BY doc
 ),
-bands AS (
+bands0 AS (
   SELECT doc, band, v FROM (
     SELECT doc, unnest(["""
     + ", ".join(f"{{'band': {i}, 'v': sig{i}}}" for i in range(8))
@@ -881,6 +881,9 @@ bands AS (
     FROM sigs
   ) t, LATERAL (SELECT t.s.band AS band, t.s.v AS v)
 ),
+hotb AS (SELECT band, v FROM bands0 GROUP BY band, v HAVING count(*) > 200),
+bands AS (SELECT * FROM bands0 b
+          WHERE NOT EXISTS (SELECT 1 FROM hotb h WHERE h.band = b.band AND h.v = b.v)),
 pairs AS (
   SELECT DISTINCT x.doc AS a, y.doc AS b
   FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v AND x.doc < y.doc
@@ -889,9 +892,10 @@ pairs AS (
     + _JACCARD_TAIL_SQL.format(min_inter=3),
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash (8 perms, md5-lex-min) -> banded LSH bucket join -> exact
-    shingle-Jaccard verification. Integer-only evidence columns so the
-    DuckDB oracle matches bit-for-bit."""
+    """MinHash (8 perms, md5-lex-min) -> banded LSH bucket join (hot-bucket
+    drop guard, cap 200 — a boilerplate cluster can never make the bucket
+    self-join quadratic) -> exact shingle-Jaccard verification. Integer-only
+    evidence columns so the DuckDB oracle matches bit-for-bit."""
     from warcbase_spark.operators.dedup import (
         doc_shingles,
         lsh_candidate_pairs,
@@ -901,7 +905,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     sh = doc_shingles(d).cache()
-    pairs = lsh_candidate_pairs(minhash_signatures(sh, 8), 8)
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, bucket_cap=200)
     return verified_jaccard(pairs, sh, min_inter=3)
 
 
@@ -910,22 +914,28 @@ def dedup_minhash_lsh(spark, sf_dir):
     "WITH "
     + _SHINGLES_SQL.strip().rstrip()
     + """,
+hotsh AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 100),
+rare AS (SELECT s.* FROM sh s WHERE NOT EXISTS (SELECT 1 FROM hotsh h WHERE h.sh = s.sh)),
 pairs AS (
   SELECT DISTINCT sa.doc AS a, sb.doc AS b
-  FROM sh sa JOIN sh sb ON sa.sh = sb.sh AND sa.doc < sb.doc
+  FROM rare sa JOIN rare sb ON sa.sh = sb.sh AND sa.doc < sb.doc
 ),
 """
     + _JACCARD_TAIL_SQL.format(min_inter=4),
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard dedup via the shingle inverted index (no LSH):
-    candidate pairs = docs sharing any shingle, evidence = (inter, union)."""
-    from warcbase_spark.operators.dedup import doc_shingles, verified_jaccard
+    candidate pairs = docs sharing any RARE shingle (df ≤ 100 — a high-df
+    boilerplate shingle would make the inverted-index self-join quadratic
+    in its df and carries no dedup signal), evidence = exact (inter, union)
+    over the FULL shingle sets."""
+    from warcbase_spark.operators.dedup import doc_shingles, rare_shingles, verified_jaccard
 
     d = _t(spark, sf_dir, "documents")
     sh = doc_shingles(d).cache()
-    a = sh.select(F.col("doc").alias("a"), "sh")
-    b = sh.select(F.col("doc").alias("b"), "sh")
+    r = rare_shingles(sh, max_df=100)
+    a = r.select(F.col("doc").alias("a"), "sh")
+    b = r.select(F.col("doc").alias("b"), "sh")
     pairs = a.join(b, "sh").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     return verified_jaccard(pairs, sh, min_inter=4)
 
@@ -967,19 +977,25 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
-_BUCKET_SQL = (
-    "("
-    + " + ".join(f"CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END" for i in range(6))
-    + ")"
-)
+# seeded random-hyperplane LSH buckets (similarity.hyperplane_bucket):
+# the SQL mirror embeds the SAME seeded ±1 planes, so Spark and DuckDB
+# bucket identically (integer fixed-point dot signs — no float divergence)
+from warcbase_spark.operators.similarity import hyperplane_bucket_sql as _hp_sql  # noqa: E402
+
+_ANN_BITS, _ANN_DIM, _ANN_SEEDS, _ANN_CAP = 8, 64, (7, 101), 100
+
+_HP0_SQL = _hp_sql("embedding", _ANN_BITS, _ANN_DIM, _ANN_SEEDS[0])
+_HP1_SQL = _hp_sql("embedding", _ANN_BITS, _ANN_DIM, _ANN_SEEDS[1])
 
 
 @query(
     "embedding_neardup",
     f"""
-    WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bkt FROM embeddings
+    WITH e0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {_HP0_SQL} AS bkt FROM embeddings
     ),
+    hot AS (SELECT bkt FROM e0 GROUP BY bkt HAVING count(*) > {_ANN_CAP}),
+    e AS (SELECT * FROM e0 WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.bkt = e0.bkt)),
     p AS (
       SELECT x.vec_id AS a, y.vec_id AS b,
              round(list_dot_product(x.v, y.v)
@@ -990,13 +1006,16 @@ _BUCKET_SQL = (
     """,
 )
 def embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup detection, LSH sign-bucketed candidate join
-    (cost Σ bucket² not n²), cosine fully JVM-side."""
+    """Embedding-cosine near-dup detection: seeded random-hyperplane LSH
+    bucket join (Σ bucket² not n²) with a hot-bucket drop guard (bucket_cap)
+    so a degenerate corpus can never go quadratic; cosine fully JVM-side."""
     from warcbase_spark.operators.similarity import bucketed_neighbors
 
     e = _t(spark, sf_dir, "embeddings")
     return (
-        bucketed_neighbors(e, 6)
+        bucketed_neighbors(
+            e, _ANN_BITS, dim=_ANN_DIM, seed=_ANN_SEEDS[0], bucket_cap=_ANN_CAP
+        )
         .filter(F.col("sim") >= 0.3)
         .orderBy(F.desc("sim"), "a", "b")
     )
@@ -1006,22 +1025,29 @@ def embedding_neardup(spark, sf_dir):
     "ann_lsh_topk",
     f"""
     WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v, {_BUCKET_SQL} AS bkt FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             {_HP0_SQL} AS bkt0, {_HP1_SQL} AS bkt1
+      FROM embeddings
     ),
-    q AS (SELECT v AS qv, bkt AS qbkt FROM e WHERE vec_id = 0)
+    q AS (SELECT v AS qv, bkt0 AS qbkt0, bkt1 AS qbkt1 FROM e WHERE vec_id = 0)
     SELECT e.vec_id,
            round(list_dot_product(e.v, q.qv)
                  / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 3) AS sim
-    FROM e, q WHERE e.bkt = q.qbkt AND e.vec_id != 0
+    FROM e, q WHERE (e.bkt0 = q.qbkt0 OR e.bkt1 = q.qbkt1) AND e.vec_id != 0
     ORDER BY sim DESC, e.vec_id LIMIT 10
     """,
 )
 def ann_lsh_topk(spark, sf_dir):
-    """Approximate nearest neighbors: search only the query's sign bucket
-    (the scale path next to the brute-force embedding_topk_cosine baseline)."""
+    """Approximate nearest neighbors: multi-table probing — union of the
+    query's buckets across two independent seeded hyperplane tables (recall
+    insurance against one unlucky table) next to the brute-force
+    embedding_topk_cosine baseline."""
     from warcbase_spark.operators.similarity import ann_topk
 
-    return ann_topk(_t(spark, sf_dir, "embeddings"), query_id=0, k=10, n_bits=6)
+    return ann_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, n_bits=_ANN_BITS, dim=_ANN_DIM, seeds=_ANN_SEEDS,
+    )
 
 
 def _pagerank_oracle_sql(iters: int = 5) -> str:
