@@ -79,3 +79,36 @@ def test_filter_dsl_partitions(spark, corpus_dir):
     assert d1 == n  # all fixture dates are 2024
     m = filters.keep_date(docs, "202401").count()
     assert 0 < m < n
+
+
+def test_mime_sniff_magic_bytes(spark):
+    """X12 heuristic: real binary signatures (PNG/JPEG/GIF/PDF/ZIP/gzip),
+    html tag sniff, plain fallback — all JVM Column ops."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from warcbase_spark.functions.matchbox import detect_mime_magic, detect_mime_tika
+
+    cases = [
+        ("png", b"\x89PNG\r\n\x1a\n" + b"rest", "image/png"),
+        ("jpg", b"\xff\xd8\xff\xe0\x00\x10JFIF", "image/jpeg"),
+        ("gif", b"GIF89a-data", "image/gif"),
+        ("pdf", b"%PDF-1.7 blah", "application/pdf"),
+        ("zip", b"PK\x03\x04abc", "application/zip"),
+        ("gz", b"\x1f\x8b\x08rest", "application/gzip"),
+        ("html", b"  <!DOCTYPE html><html>", "text/html"),
+        ("html2", b"<HTML><body>x</body>", "text/html"),
+        ("txt", b"just words here", "text/plain"),
+    ]
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b, _ in cases], "name string, payload binary"
+    )
+    got = {r["name"]: r["mime"] for r in df.select("name", detect_mime_magic(F.col("payload")).alias("mime")).collect()}
+    for n, _b, want in cases:
+        assert got[n] == want, n
+
+    with pytest.raises(NotImplementedError):
+        detect_mime_tika(F.col("payload"))
+
+    plan = df.select(detect_mime_magic(F.col("payload")))._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan

@@ -89,6 +89,41 @@ def page_hash(url: Column) -> Column:
     return F.xxhash64(url)
 
 
+def detect_mime_magic(payload: Column) -> Column:
+    """X12 DetectMimeTypeTika (DetectMimeTypeTika.scala:22-25) — lib-free
+    heuristic: magic-bytes prefix match as pure Column ops (hex of the
+    leading bytes, whole-stage-codegen'd; no Tika, no Python). Covers the
+    signatures a web archive actually hits; everything else falls back to
+    text/plain (Tika's octet-stream default is reserved for the gated real
+    path, detect_mime_tika)."""
+    h = F.hex(F.substring(payload, 1, 12))  # uppercase hex prefix
+    txt = F.lower(F.ltrim(F.decode(payload, "UTF-8")))
+    return (
+        F.when(h.startswith("89504E470D0A1A0A"), "image/png")
+        .when(h.startswith("FFD8FF"), "image/jpeg")
+        .when(h.startswith("47494638"), "image/gif")
+        .when(h.startswith("25504446"), "application/pdf")
+        .when(h.startswith("504B0304"), "application/zip")
+        .when(h.startswith("1F8B"), "application/gzip")
+        .when(h.startswith("000001BA") | h.startswith("000001B3"), "video/mpeg")
+        .when(txt.startswith("<!doctype html") | txt.startswith("<html"), "text/html")
+        .otherwise("text/plain")
+    )
+
+
+def detect_mime_tika(payload: Column) -> Column:
+    """Real Tika-equivalent detection — lib-gated: this container ships no
+    tika/magic bindings. Raises at plan time rather than silently degrading;
+    use detect_mime_magic for the heuristic path."""
+    try:
+        import tika  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "tika is not available in this environment; use detect_mime_magic"
+        )
+    raise NotImplementedError("tika bridge not wired; use detect_mime_magic")
+
+
 # --- tweet accessors (TweetUtils.scala:9-18) over a parsed JSON struct ---
 
 def tweet_field(json_col: Column, field: str) -> Column:

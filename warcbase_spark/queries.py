@@ -1075,6 +1075,105 @@ r{i} AS (
     return base + body + f"\nSELECT id, r AS rank_fp FROM {prev}"
 
 
+def _pagerank_tol_oracle_sql(tol_fp: int, max_iters: int) -> str:
+    """Unrolled convergence oracle: max_iters fixed-point iterations with
+    per-iteration max-|Δ| scalars; the CASE picks the FIRST iteration whose
+    delta < tol — exactly the Spark loop's break condition. Every CTE is
+    MATERIALIZED: r_i is referenced twice (next iteration + delta), and
+    DuckDB would otherwise inline the chain exponentially."""
+    base = _WEB_CTE.rstrip() + """,
+edges AS MATERIALIZED (SELECT DISTINCT src_id, dst_id FROM links),
+outd AS MATERIALIZED (SELECT src_id, count(*) AS od FROM edges GROUP BY src_id),
+r0 AS MATERIALIZED (SELECT doc_id AS id, CAST(1000000000000 // (SELECT c FROM n) AS BIGINT) AS r FROM w)
+"""
+    body = ""
+    prev = "r0"
+    for i in range(1, max_iters + 1):
+        body += f""",
+s{i} AS MATERIALIZED (
+  SELECT e.dst_id AS id, CAST(sum({prev}.r // o.od) AS BIGINT) AS s
+  FROM edges e JOIN {prev} ON {prev}.id = e.src_id JOIN outd o ON o.src_id = e.src_id
+  GROUP BY e.dst_id
+),
+r{i} AS MATERIALIZED (
+  SELECT w.doc_id AS id,
+         CAST((1000000000000 * 15) // ((SELECT c FROM n) * 100)
+              + (85 * coalesce(s{i}.s, 0)) // 100 AS BIGINT) AS r
+  FROM w LEFT JOIN s{i} ON s{i}.id = w.doc_id
+)"""
+        prev = f"r{i}"
+    deltas = ", ".join(
+        f"(SELECT max(abs(r{i}.r - r{i - 1}.r)) FROM r{i} JOIN r{i - 1} ON r{i}.id = r{i - 1}.id) AS d{i}"
+        for i in range(1, max_iters + 1)
+    )
+    body += f",\nds AS MATERIALIZED (SELECT {deltas})"
+    joins = " ".join(f"JOIN r{i} ON r{i}.id = r0.id" for i in range(1, max_iters + 1))
+    rank_case = (
+        "CASE "
+        + " ".join(f"WHEN ds.d{i} < {tol_fp} THEN r{i}.r" for i in range(1, max_iters))
+        + f" ELSE r{max_iters}.r END"
+    )
+    iter_case = (
+        "CASE "
+        + " ".join(f"WHEN ds.d{i} < {tol_fp} THEN {i}" for i in range(1, max_iters))
+        + f" ELSE {max_iters} END"
+    )
+    return (
+        base
+        + body
+        + f"\nSELECT r0.id, {rank_case} AS rank_fp, CAST({iter_case} AS INT) AS iters"
+        + f"\nFROM r0 {joins}, ds"
+    )
+
+
+_PR_TOL_FP = 50_000_000  # fixed-point Δ threshold (ranks are ×1e12-scaled)
+_PR_MAX_ITERS = 14
+
+
+@query("pagerank_tol", _pagerank_tol_oracle_sql(_PR_TOL_FP, _PR_MAX_ITERS))
+def pagerank_tol(spark, sf_dir):
+    """G1/G5 dynamic PageRank — the reference's convergence mode
+    ``graph.pageRank(tol=0.005)`` (ExtractGraph.scala:66-69). Documented
+    divergence: GraphX Pregel converges per-vertex; this engine iterates
+    until the GLOBAL max fixed-point delta < tol (order-independent integer
+    arithmetic so the DuckDB unrolled oracle matches bit-for-bit), capped
+    at _PR_MAX_ITERS. Each iteration is localCheckpoint'ed so analysis time
+    stays linear in rounds."""
+    docs = web_docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    edges = web_links(spark, sf_dir).select("src_id", "dst_id").distinct().cache()
+    outd = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("od"))
+    n = docs.count()
+    total = 1_000_000_000_000
+    ranks = docs.withColumn("r", F.lit(total // n).cast("long")).localCheckpoint(eager=True)
+    base = (total * 15) // (n * 100)
+    it = _PR_MAX_ITERS
+    for i in range(1, _PR_MAX_ITERS + 1):
+        contrib = (
+            edges.join(ranks, edges.src_id == ranks.id)
+            .join(outd, "src_id")
+            .select("dst_id", F.expr("r div od").alias("c"))
+            .groupBy("dst_id")
+            .agg(F.sum("c").alias("s"))
+        )
+        new_ranks = docs.join(contrib, docs.id == contrib.dst_id, "left").select(
+            "id",
+            (F.lit(base) + F.expr("85 * coalesce(s, 0) div 100")).cast("long").alias("r"),
+        ).localCheckpoint(eager=True)
+        delta = (
+            new_ranks.join(ranks.select("id", F.col("r").alias("rp")), "id")
+            .agg(F.max(F.abs(F.col("r") - F.col("rp"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if i < _PR_MAX_ITERS and delta < _PR_TOL_FP:
+            it = i
+            break
+    edges.unpersist()
+    return ranks.select(
+        "id", F.col("r").alias("rank_fp"), F.lit(it).cast("int").alias("iters")
+    )
+
+
 @query("pagerank5", _pagerank_oracle_sql(5))
 def pagerank5(spark, sf_dir):
     """G1/G5 PageRank (ExtractGraph.scala:42-75) as an iterative DataFrame
@@ -1538,6 +1637,137 @@ def robots_filtering(spark, sf_dir):
     )
     cand = web_docs(spark, sf_dir).select("url_key", "host")
     return apply_robots(cand, robots)
+
+
+# ---------------------------------------------------------------------------
+# S4 loadTweets: tombstone + parse-failure drop over JSON lines. The line
+# corpus derives deterministically from `documents` (doc_id % 7 selects the
+# shape: 0 → {"delete": tombstone, 1 → corrupt non-JSON, 2 → valid tweet
+# with no user object, else → full tweet); the DuckDB oracle mirrors the
+# construction and the filters (json_valid ≡ try_parse_json null-ness,
+# verified on identical edge cases).
+# ---------------------------------------------------------------------------
+
+_TWEET_LINE_SQL = """
+CASE
+  WHEN doc_id % 7 = 0 THEN '{"delete": {"status": {"id": ' || doc_id || '}}}'
+  WHEN doc_id % 7 = 1 THEN 'not json ' || doc_id
+  WHEN doc_id % 7 = 2 THEN '{"id_str": "' || doc_id
+       || '", "created_at": "2024-01-01", "text": "tweet ' || doc_id
+       || '", "lang": "' || lang || '"}'
+  ELSE '{"id_str": "' || doc_id
+       || '", "created_at": "2024-01-02", "text": "tweet ' || doc_id
+       || '", "lang": "' || lang || '", "user": {"screen_name": "u' || doc_id
+       || '", "verified": ' || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+       || ', "followers_count": ' || (doc_id % 1000)
+       || ', "friends_count": ' || (doc_id % 97) || '}}'
+END
+"""
+
+
+def _tweet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    mod7 = F.col("doc_id") % 7
+    full = F.concat(
+        F.lit('{"id_str": "'), sid,
+        F.lit('", "created_at": "2024-01-02", "text": "tweet '), sid,
+        F.lit('", "lang": "'), F.col("lang"),
+        F.lit('", "user": {"screen_name": "u'), sid,
+        F.lit('", "verified": '),
+        F.when(F.col("doc_id") % 2 == 0, "true").otherwise("false"),
+        F.lit(', "followers_count": '), (F.col("doc_id") % 1000).cast("string"),
+        F.lit(', "friends_count": '), (F.col("doc_id") % 97).cast("string"),
+        F.lit("}}"),
+    )
+    line = (
+        F.when(mod7 == 0, F.concat(F.lit('{"delete": {"status": {"id": '), sid, F.lit("}}}")))
+        .when(mod7 == 1, F.concat(F.lit("not json "), sid))
+        .when(
+            mod7 == 2,
+            F.concat(
+                F.lit('{"id_str": "'), sid,
+                F.lit('", "created_at": "2024-01-01", "text": "tweet '), sid,
+                F.lit('", "lang": "'), F.col("lang"), F.lit('"}'),
+            ),
+        )
+        .otherwise(full)
+    )
+    return d.select(line.alias("value"))
+
+
+@query(
+    "mime_sniff",
+    """
+    WITH p AS (
+      SELECT CASE doc_id % 4
+               WHEN 0 THEN 'GIF89a' || text
+               WHEN 1 THEN '%PDF-1.4 ' || text
+               WHEN 2 THEN '<html><body>' || text
+               ELSE text
+             END AS s
+      FROM documents
+    )
+    SELECT CASE
+             WHEN starts_with(s, 'GIF8') THEN 'image/gif'
+             WHEN starts_with(s, '%PDF') THEN 'application/pdf'
+             WHEN starts_with(lower(ltrim(s)), '<!doctype html')
+               OR starts_with(lower(ltrim(s)), '<html') THEN 'text/html'
+             ELSE 'text/plain'
+           END AS mime_type,
+           count(*) AS count
+    FROM p GROUP BY 1
+    """,
+)
+def mime_sniff(spark, sf_dir):
+    """X12 MIME detection, lib-free: magic-bytes prefix sniff as pure Column
+    ops over BINARY payloads (detect_mime_magic). Payloads derive from the
+    text column with deterministic ASCII magic prefixes; the oracle mirrors
+    the sniff on the string form (binary-only signatures — PNG/JPEG/gzip —
+    are unit-tested with real byte literals in test_mime_sniff)."""
+    from warcbase_spark.functions.matchbox import detect_mime_magic
+
+    d = _t(spark, sf_dir, "documents")
+    mod4 = F.col("doc_id") % 4
+    s = (
+        F.when(mod4 == 0, F.concat(F.lit("GIF89a"), F.col("text")))
+        .when(mod4 == 1, F.concat(F.lit("%PDF-1.4 "), F.col("text")))
+        .when(mod4 == 2, F.concat(F.lit("<html><body>"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    payloads = d.select(F.encode(s, "UTF-8").alias("payload"))
+    return payloads.groupBy(detect_mime_magic(F.col("payload")).alias("mime_type")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+@query(
+    "tweets_ingest",
+    f"""
+    WITH lines AS (SELECT {_TWEET_LINE_SQL} AS value FROM documents),
+    kept AS (
+      SELECT value FROM lines
+      WHERE NOT starts_with(value, '{{"delete":') AND json_valid(value)
+    )
+    SELECT json_extract_string(value, '$.id_str') AS id,
+           json_extract_string(value, '$.created_at') AS created_at,
+           json_extract_string(value, '$.text') AS text,
+           json_extract_string(value, '$.lang') AS lang,
+           json_extract_string(value, '$.user.screen_name') AS username,
+           coalesce(TRY_CAST(json_extract_string(value, '$.user.verified') AS BOOLEAN), false) AS verified,
+           coalesce(TRY_CAST(json_extract_string(value, '$.user.followers_count') AS INT), 0) AS follower_count,
+           coalesce(TRY_CAST(json_extract_string(value, '$.user.friends_count') AS INT), 0) AS friend_count
+    FROM kept
+    """,
+)
+def tweets_ingest(spark, sf_dir):
+    """S4 loadTweets (RecordLoader.scala:48-50): drop {"delete": tombstones
+    + parse failures, then the TweetUtils accessor set (X19) with reference
+    defaults (counts→0; intended user.verified, not the reference's
+    screen_name=="false" bug — documented divergence)."""
+    from warcbase_spark.sources.tweets import tweets_table
+
+    return tweets_table(_tweet_lines(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
