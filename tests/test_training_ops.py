@@ -211,3 +211,43 @@ def test_frame_sample_plan(spark):
     d = spark.createDataFrame([("v1", 3500)], "doc_id string, duration_ms int")
     out = frame_sample_plan(d, every_ms=1000).select("frame_ms").collect()
     assert sorted(r["frame_ms"] for r in out) == [0, 1000, 2000, 3000]
+
+
+def test_ner_run_merging_and_json(spark):
+    """X16: run-merge semantics (NER3Classifier.scala:69-96) + per-partition
+    init + the JSON output shape."""
+    from warcbase_spark.operators.ner import (
+        entities_to_json,
+        extract_entities,
+        gazetteer_classifier_factory,
+        merge_entity_runs,
+    )
+
+    classify = gazetteer_classifier_factory()()
+    # consecutive same-class tokens merge; class change commits the buffer
+    assert merge_entity_runs("slow fast scan table row spark".split(), classify) == [
+        ("PERSON", "slow fast"),
+        ("LOCATION", "table row"),
+        ("ORGANIZATION", "spark"),
+    ]
+    assert merge_entity_runs([], classify) == []
+    assert merge_entity_runs(["scan"], classify) == []
+
+    import json
+    j = json.loads(entities_to_json("table spark spark fast", classify))
+    assert j == {"PERSON": ["fast"], "ORGANIZATION": ["spark spark"], "LOCATION": ["table"]}
+
+    docs = spark.createDataFrame(
+        [("d1", "slow fast scan table row"), ("d2", None), ("d3", "")],
+        "doc_id string, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["entity_type"], r["entity"])
+        for r in extract_entities(docs).collect()
+    )
+    assert got == [("d1", "LOCATION", "table row"), ("d1", "PERSON", "slow fast")]
+
+    # pluggable classifier: swap the gazetteer without touching plumbing
+    custom = gazetteer_classifier_factory({"PERSON": {"scan"}, "ORGANIZATION": set(), "LOCATION": set()})
+    got2 = extract_entities(docs, classifier_factory=custom).collect()
+    assert [(r["entity_type"], r["entity"]) for r in got2] == [("PERSON", "scan")]

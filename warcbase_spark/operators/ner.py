@@ -1,0 +1,125 @@
+"""X16 — named-entity extraction (pluggable classifier).
+
+Reference: NER3Classifier.scala:53-109 wraps a Stanford CRF classifier and
+merges consecutive same-class tokens into entities (run-merging, committing
+the buffer whenever the class changes); ExtractEntities.scala:62-65
+initializes the classifier ONCE PER PARTITION inside mapPartitions — the
+pattern this operator reproduces with ``mapInPandas`` (classifier factory
+invoked once per partition iterator, Arrow-batched rows).
+
+No CRF model ships in this container, so the default classifier is a
+regex/gazetteer token classifier (exact-membership lookup) — honest,
+deterministic, and DuckDB-mirrorable (the oracle reimplements run-merging
+as a gaps-and-islands SQL query, an independent formulation of the same
+semantics). A real model plugs in as ``classifier_factory`` (e.g. loading
+spaCy/Stanza per partition) without touching the Spark plumbing.
+
+Known reference bug, documented: classify()'s empty result literal is
+malformed JSON (``{"PERSON":[],"ORGANIZATION"=[]...`` — '=' not ':';
+NER3Classifier.scala:54). ``entities_to_json`` emits well-formed JSON.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+NER_TYPES = ("PERSON", "ORGANIZATION", "LOCATION")
+
+# fallback gazetteer over the synthetic corpus vocabulary — the pluggable
+# default, NOT a claim of real NER
+DEFAULT_GAZETTEER: dict[str, set[str]] = {
+    "PERSON": {"fast", "slow"},
+    "ORGANIZATION": {"spark", "hash"},
+    "LOCATION": {"table", "row"},
+}
+
+
+def gazetteer_classifier_factory(
+    gazetteer: dict[str, set[str]] | None = None,
+) -> Callable[[], Callable[[str], str]]:
+    """Factory-of-factories: the OUTER call captures config on the driver;
+    the INNER call runs once per partition (the reference's per-partition
+    ``NER3Classifier.apply(file)`` init, ExtractEntities.scala:62-65)."""
+    gaz = gazetteer or DEFAULT_GAZETTEER
+
+    def init() -> Callable[[str], str]:
+        lookup = {tok: cls for cls, toks in gaz.items() for tok in toks}
+        return lambda tok: lookup.get(tok, "O")
+
+    return init
+
+
+def merge_entity_runs(tokens: list[str], classify: Callable[[str], str]) -> list[tuple[str, str]]:
+    """Run-merging exactly as NER3Classifier.classify (scala:69-96): a
+    buffer accumulates consecutive same-class tokens; the buffer commits
+    when the class changes (and at end of input)."""
+    out: list[tuple[str, str]] = []
+    prev = "O"
+    buf: list[str] = []
+    for tok in tokens:
+        cur = classify(tok)
+        if cur != prev and prev != "O" and buf:
+            out.append((prev, " ".join(buf)))
+            buf = []
+        prev = cur
+        if cur != "O":
+            buf.append(tok)
+    if prev != "O" and buf:
+        out.append((prev, " ".join(buf)))
+    return out
+
+
+_ENTITIES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("entity_type", T.StringType()),
+        T.StructField("entity", T.StringType()),
+    ]
+)
+
+
+def extract_entities(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    classifier_factory: Callable[[], Callable[[str], str]] | None = None,
+) -> DataFrame:
+    """(doc_id, entity_type, entity) rows — one per merged entity run.
+    mapInPandas with per-partition classifier init; tokens are the same
+    whitespace normalization as functions.text."""
+    init = classifier_factory or gazetteer_classifier_factory()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        classify = init()  # once per partition — the expensive model load
+        for pdf in it:
+            ids: list[str] = []
+            types: list[str] = []
+            ents: list[str] = []
+            for did, text in zip(pdf[id_col].astype(str), pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in str(text).lower().split() if t]
+                for etype, ent in merge_entity_runs(toks, classify):
+                    ids.append(did)
+                    types.append(etype)
+                    ents.append(ent)
+            yield pd.DataFrame({"doc_id": ids, "entity_type": types, "entity": ents})
+
+    return docs.select(id_col, text_col).mapInPandas(batches, _ENTITIES_SCHEMA)
+
+
+def entities_to_json(text: str | None, classify: Callable[[str], str]) -> str:
+    """Reference classify() output shape — per-doc JSON of entity lists by
+    type (well-formed; see module docstring re: the reference's malformed
+    empty literal)."""
+    by_type: dict[str, list[str]] = {t: [] for t in NER_TYPES}
+    if text is not None:
+        toks = [t for t in text.lower().split() if t]
+        for etype, ent in merge_entity_runs(toks, classify):
+            by_type[etype].append(ent)
+    return json.dumps(by_type)

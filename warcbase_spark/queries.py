@@ -1697,6 +1697,47 @@ def _tweet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ner_entities",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' ')) AS tok,
+             generate_subscripts(string_split(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' '), 1) AS i
+      FROM documents
+    ),
+    cls AS (
+      SELECT doc_id, i, tok,
+             CASE WHEN tok IN ('fast','slow') THEN 'PERSON'
+                  WHEN tok IN ('spark','hash') THEN 'ORGANIZATION'
+                  WHEN tok IN ('table','row') THEN 'LOCATION'
+                  ELSE 'O' END AS c
+      FROM toks
+    ),
+    runs AS (
+      SELECT doc_id, i, tok, c,
+             i - row_number() OVER (PARTITION BY doc_id, c ORDER BY i) AS grp
+      FROM cls WHERE c != 'O'
+    ),
+    ents AS (
+      SELECT doc_id, c AS entity_type, string_agg(tok, ' ' ORDER BY i) AS entity
+      FROM runs GROUP BY doc_id, c, grp
+    )
+    SELECT entity_type, entity, count(*) AS count FROM ents GROUP BY 1, 2
+    """,
+)
+def ner_entities(spark, sf_dir):
+    """X16 NER (NER3Classifier.scala:53-109 run-merging + ExtractEntities.
+    scala:62-65 per-partition init) with the pluggable gazetteer fallback
+    classifier; counts per (type, entity). The oracle reimplements
+    run-merging independently as a gaps-and-islands SQL query."""
+    from warcbase_spark.operators.ner import extract_entities
+
+    d = _t(spark, sf_dir, "documents")
+    ents = extract_entities(d.select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    return ents.groupBy("entity_type", "entity").agg(F.count(F.lit(1)).alias("count"))
+
+
+@query(
     "mime_sniff",
     """
     WITH p AS (
