@@ -51,6 +51,41 @@ def test_dedup_exact_semantics(spark):
     assert got == exp
 
 
+def test_cogrouped_probe_matches_broadcast_probe(spark):
+    """probe_bloom_cogrouped (the 10^10-key path: shard bitmaps cogrouped by
+    hash route, nothing broadcast) must agree bit-for-bit with the broadcast
+    probe, including shards with no bitmap (all-fresh) and extra columns."""
+    from warcbase_spark.operators.seen import bloom_shards_df, probe_bloom_cogrouped
+
+    n = 4000
+    present = spark.range(n).select(F.concat(F.lit("org.example/k/"), "id").alias("url_key"))
+    params = BloomParams.size(n, fpp=0.01, n_shards=8)
+    bloom = build_bloom(present, params)
+    # drop one shard bitmap → its candidates must probe definitely-fresh
+    partial = dict(bloom.shards)
+    dropped_shard = sorted(partial)[0]
+    del partial[dropped_shard]
+    from warcbase_spark.operators.seen import ShardedBloom
+
+    pbloom = ShardedBloom(params, partial)
+
+    cand = spark.range(0, 2 * n, 1).select(
+        F.concat(F.lit("org.example/k/"), "id").alias("url_key"),
+        (F.col("id") % 7).alias("extra"),
+    )
+    want = {
+        (r["url_key"], r["extra"]): r["maybe_seen"]
+        for r in probe_bloom(spark, cand, pbloom).collect()
+    }
+    got = {
+        (r["url_key"], r["extra"]): r["maybe_seen"]
+        for r in probe_bloom_cogrouped(
+            cand, bloom_shards_df(spark, pbloom), params
+        ).collect()
+    }
+    assert got == want and len(got) == 2 * n
+
+
 def test_merge_vectorized_contains():
     params = BloomParams.size(100, 0.01, 4)
     from warcbase_spark.operators.seen import ShardedBloom, _set_bits

@@ -71,6 +71,33 @@ def test_resume_exactness(spark, corpus_dir, crawl, sim):
     assert got_seen == sim.seen
 
 
+def test_round_job_budget(spark, corpus_dir):
+    """The observe()-metrics rework (VERDICT r1 #7): a round must run a
+    bounded handful of Spark jobs (3 writes + bloom build + seq stamping +
+    AQE stage materializations), never the ~10 extra count() actions the
+    round-1 design paid. Job ids come from DAGScheduler's counter; the
+    bound is generous because AQE materializes sub-jobs per exchange."""
+    import shutil
+
+    state = "/tmp/warcbase_spark_testfix/crawlstate_jobs"
+    shutil.rmtree(state, ignore_errors=True)
+    fc = FrontierCrawl(spark, corpus_dir, state, max_rounds=3)
+    fc.bootstrap()
+    fc.run_round(0)  # warm: docs_keyed derivation etc.
+
+    def jobs() -> int:
+        n = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+        return n if isinstance(n, int) else n.get()
+
+    before = jobs()
+    fc.run_round(1)
+    spent = jobs() - before
+    # measured ~28 with AQE: 5 actions × their AQE stage-materialization
+    # sub-jobs; each extra count() action would add ~3-5 AQE jobs, so a
+    # return of the 10-count design trips this bound immediately
+    assert spent <= 35, f"round used {spent} jobs — observe() metrics regressed?"
+
+
 def test_seen_compaction_transparent(crawl):
     """Compaction must be invisible to readers: seen-from-base+deltas equals
     the union of ALL deltas, and the manifest names a real base snapshot."""

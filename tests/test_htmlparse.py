@@ -163,6 +163,33 @@ def test_udfs_vectorized_and_correct(spark):
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
 
 
+def test_remove_boilerplate_blocks():
+    """X10 heuristic: nav/footer link farms and short chrome drop; article
+    paragraphs survive; document order preserved."""
+    from warcbase_spark.functions.htmlparse import remove_boilerplate
+
+    page = (
+        "<html><body>"
+        '<div><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact us</a></div>'
+        "<p>This is the first real paragraph of the article with plenty of words in it.</p>"
+        "<p>Short chrome.</p>"
+        '<p>The second paragraph also carries substantial content and even an '
+        '<a href="/ref">inline reference</a> without tipping the link density over.</p>'
+        '<div><a href="/tos">Terms</a> <a href="/privacy">Privacy</a></div>'
+        "</body></html>"
+    )
+    got = remove_boilerplate(page)
+    assert got == (
+        "This is the first real paragraph of the article with plenty of words in it. "
+        "The second paragraph also carries substantial content and even an "
+        "inline reference without tipping the link density over."
+    )
+    assert remove_boilerplate(None) is None
+    assert remove_boilerplate("") == ""
+    # all-anchor page → everything is boilerplate
+    assert remove_boilerplate('<p><a href="/a">one two three four five six seven eight nine ten</a></p>') == ""
+
+
 def test_raw_html_ingestion_end_to_end(spark, corpus):
     """Raw-HTML corpus → spans_from_html → the existing span operators:
     the VERDICT-r1 'user arrives with raw HTML' path. extract_links over

@@ -126,6 +126,7 @@ class _Extractor(HTMLParser):
         elif tag in _BLOCK_TAGS:
             self._flush_text()
             self.fulltext.append("\n")
+            self.events.append(("blocksep",))
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
@@ -142,6 +143,7 @@ class _Extractor(HTMLParser):
         elif tag in _BLOCK_TAGS:
             self._flush_text()
             self.fulltext.append("\n")
+            self.events.append(("blocksep",))
 
     def handle_data(self, data: str) -> None:
         if self._suppress:
@@ -214,6 +216,42 @@ def remove_html(html: str | None) -> str | None:
     except Exception:
         pass
     return _norm_ws("".join(p.fulltext))
+
+
+def remove_boilerplate(
+    html: str | None, min_words: int = 10, max_link_density: float = 0.34
+) -> str | None:
+    """X10 Boilerpipe analogue, lib-free: block-level main-content
+    extraction using boilerpipe's two strongest signals (Kohlschütter et
+    al., WSDM 2010 — NumWordsRulesClassifier): a block survives iff it has
+    ≥ min_words words AND its link density (words inside anchors / total
+    words) < max_link_density. Nav menus / footer link farms are all-anchor
+    blocks (density 1.0) and short chrome is under the word floor; article
+    paragraphs pass. Returns the surviving blocks' text in document order.
+    """
+    if html is None:
+        return None
+    blocks: list[list[tuple]] = [[]]
+    for ev in _parse_events(html):
+        if ev[0] == "blocksep":
+            if blocks[-1]:
+                blocks.append([])
+        else:
+            blocks[-1].append(ev)
+    kept: list[str] = []
+    for block in blocks:
+        words: list[str] = []
+        link_words = 0
+        for ev in block:
+            if ev[0] == "text":
+                words.extend(ev[1].split())
+            elif ev[0] == "link" and ev[2]:
+                w = ev[2].split()
+                words.extend(w)
+                link_words += len(w)
+        if len(words) >= min_words and link_words / len(words) < max_link_density:
+            kept.append(" ".join(words))
+    return " ".join(kept)
 
 
 def html_to_spans(html: str | None, base: str = "") -> list[dict]:
@@ -298,6 +336,11 @@ def extract_image_links_udf(src: pd.Series, html: pd.Series) -> pd.Series:
 @F.pandas_udf(T.StringType())
 def remove_html_udf(html: pd.Series) -> pd.Series:
     return html.map(remove_html, na_action="ignore")
+
+
+@F.pandas_udf(T.StringType())
+def remove_boilerplate_udf(html: pd.Series) -> pd.Series:
+    return html.map(remove_boilerplate, na_action="ignore")
 
 
 @F.pandas_udf(_SPANS_TYPE)

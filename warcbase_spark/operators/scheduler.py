@@ -54,7 +54,10 @@ def add_global_seq(df: DataFrame, order: list, out_col: str = "seq") -> DataFram
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
+        # eager=False: the checkpoint is MARKED now and the blocks persist
+        # during the first action (the counts job below) — one pass instead
+        # of eager's separate materialization job, same recompute-proofness
+        .localCheckpoint(eager=False)
     )
     pid = F.shiftright("_mid", 33).cast("int")
     counts = {

@@ -117,6 +117,66 @@ def build_bloom(df: DataFrame, params: BloomParams, key_col: str = "url_key") ->
     return ShardedBloom(p, {r["shard"]: np.frombuffer(r["bitmap"], dtype=np.uint8).copy() for r in rows})
 
 
+def bloom_shards_df(spark: SparkSession, bloom: ShardedBloom) -> DataFrame:
+    """The sharded filter as a (shard, bitmap) table. At sandbox scale this
+    comes straight from the in-memory shards; at 10^10-key scale the build
+    job writes it as parquet (n_shards small rows of bits/8 bytes each) and
+    the probe reads it back — the filter never transits the driver."""
+    rows = [(int(sid), bytearray(bm.tobytes())) for sid, bm in bloom.shards.items()]
+    return spark.createDataFrame(rows, "shard int, bitmap binary")
+
+
+def probe_bloom_cogrouped(
+    df: DataFrame,
+    shards: DataFrame,
+    params: BloomParams,
+    key_col: str = "url_key",
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """The 10^10-key probe: candidates are routed to their shard by
+    ``h1 mod n_shards`` (an evenly-distributed hash — no skew) and cogrouped
+    with that shard's bitmap row, so each task holds exactly ONE shard
+    bitmap (total ≈ 12 GB at 1% fpp never materializes in one place, and
+    nothing is broadcast). Same double-hash kernel as the broadcast probe —
+    parity-tested in test_bloom.py."""
+    p = params
+    cols = df.columns
+    hashed = with_bloom_hashes(df, key_col).select(
+        *cols,
+        F.pmod(F.col("h1"), F.lit(1 << 62)).alias("_h1"),
+        F.pmod(F.col("h2"), F.lit(1 << 62)).alias("_h2"),
+        F.pmod(F.col("h1"), F.lit(p.n_shards)).cast("int").alias("shard"),
+    )
+
+    out_schema = hashed.drop("_h1", "_h2").schema.add(out_col, "boolean")
+
+    def probe(cands: pd.DataFrame, bm_rows: pd.DataFrame) -> pd.DataFrame:
+        if cands.empty:
+            return cands.drop(columns=["_h1", "_h2"]).assign(**{out_col: pd.Series(dtype=bool)})
+        h1 = cands["_h1"].to_numpy(np.int64)
+        h2 = cands["_h2"].to_numpy(np.int64)
+        if bm_rows.empty:
+            hit = np.zeros(len(cands), dtype=bool)  # shard absent → definitely fresh
+        else:
+            bm = np.frombuffer(bm_rows["bitmap"].iloc[0], dtype=np.uint8)
+            base = np.mod(h1 // p.n_shards, p.bits_per_shard)
+            step = np.mod(h2, p.bits_per_shard)
+            hit = np.ones(len(cands), dtype=bool)
+            for i in range(p.k):
+                idx = np.mod(base + i * step, p.bits_per_shard)
+                hit &= (bm[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+        out = cands.drop(columns=["_h1", "_h2"]).copy()
+        out[out_col] = hit
+        return out
+
+    return (
+        hashed.groupBy("shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(probe, out_schema)
+        .drop("shard")
+    )
+
+
 def probe_bloom(
     spark: SparkSession, df: DataFrame, bloom: ShardedBloom, key_col: str = "url_key",
     out_col: str = "maybe_seen",

@@ -1913,6 +1913,28 @@ def html_image_links(spark, sf_dir):
 
 
 @query(
+    "html_boilerplate",
+    _WEB_CTE
+    + """
+    SELECT doc_id,
+           CASE WHEN len(string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ')) >= 10
+                THEN trim(regexp_replace(text,'\\s+',' ','g')) ELSE '' END AS main_text
+    FROM w
+    """,
+)
+def html_boilerplate(spark, sf_dir):
+    """X10 Boilerpipe analogue over raw HTML: the rendered page's anchor
+    block is all-link (density 1.0 → boilerplate, dropped); the text
+    paragraph survives the ≥10-word floor — so main content == the original
+    text, which the oracle states directly. Unit tests cover nav/footer
+    chrome shapes (test_htmlparse.py)."""
+    from warcbase_spark.functions.htmlparse import remove_boilerplate_udf
+
+    pages = _html_pages(spark, sf_dir)
+    return pages.select("doc_id", remove_boilerplate_udf(F.col("html")).alias("main_text"))
+
+
+@query(
     "html_remove_text",
     _WEB_CTE
     + """
