@@ -41,9 +41,11 @@ from warcbase_spark.operators.extract import extract_links
 from warcbase_spark.operators.scheduler import schedule_round_combined
 from warcbase_spark.operators.seen import (
     BloomParams,
+    CogroupedBloom,
     ShardedBloom,
     build_bloom,
     build_bloom_jvm,
+    build_bloom_shards,
     dedup_against_seen,
 )
 
@@ -101,8 +103,10 @@ class FrontierCrawl:
         self.bloom_shards = bloom_shards
         self.compact_every = compact_every
         self.bloom_mode = bloom_mode  # "jvm" (bloom_filter_agg/might_contain,
-        # zero Python in the probe) or "sharded" (numpy ShardedBloom — the
-        # 10^10-key path where one filter exceeds a single agg buffer)
+        # zero Python in the probe), "sharded" (numpy ShardedBloom, collected
+        # + broadcast), or "cogrouped" (the 10^10-key path: the shard-bitmap
+        # table never transits the driver — candidates are routed to their
+        # shard's bitmap by hash and probed cogrouped)
         self._bloom: ShardedBloom | None = None
         os.makedirs(state_dir, exist_ok=True)
 
@@ -344,6 +348,19 @@ class FrontierCrawl:
                 n_seen = self._seen(rnd - 1).count() if rnd > 0 else 0
             n_seen += m.scheduled
             bloom = build_bloom_jvm(seen, max(n_seen * 2, 4096), self.bloom_fpp)
+        elif self.bloom_mode == "cogrouped":
+            # stateless per-round distributed build, same sizing source as
+            # the jvm mode; the (shard, bitmap) table stays executor-side
+            # end-to-end (build agg → shuffle-on-shard cogroup probe)
+            mft = self.load_manifest() or {}
+            n_seen = mft.get("seen_rows")
+            if n_seen is None:
+                n_seen = self._seen(rnd - 1).count() if rnd > 0 else 0
+            n_seen += m.scheduled
+            params = BloomParams.size(
+                max(n_seen * 2, 4096), self.bloom_fpp, self.bloom_shards
+            )
+            bloom = CogroupedBloom(params, build_bloom_shards(seen, params))
         else:
             if self._bloom is None:
                 self._bloom = self._rebuild_bloom(rnd - 1, expected_extra=m.scheduled)
@@ -415,7 +432,7 @@ class FrontierCrawl:
             self.bootstrap()
             manifest = self.load_manifest()
         start = manifest["last_committed_round"] + 1
-        if start > 0 and self.use_bloom and self.bloom_mode != "jvm":
+        if start > 0 and self.use_bloom and self.bloom_mode not in ("jvm", "cogrouped"):
             self._bloom = self._rebuild_bloom(start - 1)
         out: list[RoundMetrics] = []
         rnd = start

@@ -115,6 +115,62 @@ def detect_language(text: Column) -> Column:
     return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(F.lit("und"))
 
 
+# Character-trigram language profiles (Cavnar & Trenkle 1994 style:
+# most-frequent boundary-padded trigrams per language, public knowledge),
+# highest-weight first. zh is pinyin-romanized to match the fixture corpus.
+LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    "en": [" th", "the", "he ", "nd ", "and", " an", " of", "of ", "ing", "ng ", " to", "to ", "ed ", "er ", "at ", "is "],
+    "de": ["en ", "er ", "ch ", "der", " de", "ie ", "sch", "ein", "ich", "nde", "die", "und", " di", " un", "ung", "cht"],
+    "fr": [" de", "de ", "es ", "le ", " le", "ent", "ne ", "la ", " la", "ion", " pa", "que", " qu", "ait", "eur", "les"],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu", "ue ", "en ", " en", "as ", "ado", " co", "ar "],
+    "zh": ["de ", "shi", " sh", "zai", " za", "ng ", "an ", "en ", " wo", "wo ", "hen", " zh", "zhi", "ian", "uan", "ong"],
+}
+
+# fixed evaluation order = deterministic tie-break (first lang in this order
+# whose score ties the max wins); mirrored verbatim in the DuckDB oracle
+LANG_TRIGRAM_ORDER: list[str] = ["en", "de", "es", "fr", "zh"]
+
+
+def trigram_lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language weighted trigram-occurrence scores, integer-only.
+
+    score(lang) = Σ_i w_i · occ(padded_text, trigram_i) with w_i = N-i
+    (rank-descending weights). Occurrences are counted with the
+    length-delta-of-replace trick — both Spark's and DuckDB's replace()
+    scan left-to-right non-overlapping, so the arithmetic is engine-exact.
+    All JVM Column ops: no UDF in the scoring path.
+    """
+    t = F.concat(F.lit(" "), normalize_ws(F.lower(text)), F.lit(" "))
+    out: dict[str, Column] = {}
+    for lang, tris in LANG_TRIGRAM_PROFILES.items():
+        n = len(tris)
+        score = F.lit(0).cast("long")
+        for i, tri in enumerate(tris):
+            occ = ((F.length(t) - F.length(F.replace(t, F.lit(tri), F.lit("")))) / 3).cast("long")
+            score = score + F.lit(n - i).cast("long") * occ
+        out[lang] = score
+    return out
+
+
+def detect_language_trigram(text: Column) -> Column:
+    """X11 language ID as a real character-trigram classifier (the upgrade
+    past the marker-token heuristic — reference analogue: Tika
+    LanguageIdentifier, DetectLanguage.scala:22-25, which is itself an
+    n-gram profile classifier). 'und' for null/empty/zero-evidence text.
+    """
+    s = trigram_lang_scores(text)
+    total = sum((s[l] for l in LANG_TRIGRAM_ORDER[1:]), s[LANG_TRIGRAM_ORDER[0]])
+    expr = F.lit(LANG_TRIGRAM_ORDER[-1])
+    for lang in reversed(LANG_TRIGRAM_ORDER[:-1]):
+        later = LANG_TRIGRAM_ORDER[LANG_TRIGRAM_ORDER.index(lang) + 1:]
+        cond = None
+        for o in later:
+            c = s[lang] >= s[o]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return F.when(text.isNull() | (total == 0), F.lit("und")).otherwise(expr)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace/case-normalized text.
     Stable under reflow — the exact-dedup key."""

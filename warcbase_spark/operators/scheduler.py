@@ -40,7 +40,7 @@ def add_global_seq(df: DataFrame, order: list, out_col: str = "seq") -> DataFram
     Requires the order to be a strict total order (here url_key is unique
     within a round), so the result is independent of partition boundaries.
 
-    The ranged intermediate is localCheckpoint'ed (eager), not cache()'d:
+    The ranged intermediate is localCheckpoint'ed, not cache()'d:
     range-boundary sampling (and AQE coalescing) are not stable across
     re-evaluations, so the counts pass and the final pass must see the SAME
     physical row placement. A cache can be silently evicted and recomputed
@@ -49,16 +49,29 @@ def add_global_seq(df: DataFrame, order: list, out_col: str = "seq") -> DataFram
     job fails loudly and retries rather than mis-stamping). On a real
     cluster the durable variant is a checkpoint dir / parquet round-trip —
     the production crawl loop already persists rounds to parquet.
+
+    ``WARC_SEQ_PERSIST`` selects the strategy (``checkpoint`` default,
+    ``checkpoint_eager``, ``cache``) — A/B'd equal within measurement noise
+    on this box (BENCH.md); ``cache`` trades the eviction-recompute
+    guarantee for deserialized in-memory reads and is only for profiling.
     """
+    import os as _os
+
     ranged = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    _mode = _os.environ.get("WARC_SEQ_PERSIST", "checkpoint")
+    if _mode == "cache":
+        ranged = ranged.cache()
+    elif _mode == "checkpoint_eager":
+        ranged = ranged.localCheckpoint(eager=True)
+    else:
         # eager=False: the checkpoint is MARKED now and the blocks persist
         # during the first action (the counts job below) — one pass instead
         # of eager's separate materialization job, same recompute-proofness
-        .localCheckpoint(eager=False)
-    )
+        ranged = ranged.localCheckpoint(eager=False)
     pid = F.shiftright("_mid", 33).cast("int")
     counts = {
         r["_pid"]: r["count"]

@@ -90,11 +90,12 @@ def _set_bits(bm: np.ndarray, h1: np.ndarray, h2: np.ndarray, p: BloomParams) ->
         np.bitwise_or.at(bm, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
 
 
-def build_bloom(df: DataFrame, params: BloomParams, key_col: str = "url_key") -> ShardedBloom:
-    """Distributed build: hash JVM-side, route rows to their shard, build
-    each shard's bitmap in one Arrow-batched task, collect the (small)
-    per-shard bitmaps. Shuffle volume = 16 bytes/key; collected volume =
-    n_shards × bits_per_shard/8 regardless of key count."""
+def build_bloom_shards(df: DataFrame, params: BloomParams, key_col: str = "url_key") -> DataFrame:
+    """Fully distributed build: hash JVM-side, route rows to their shard,
+    build each shard's bitmap in one Arrow-batched task. Returns the
+    (shard, bitmap) table WITHOUT collecting — the 10^10-key form, where the
+    filter never transits the driver (pair with ``probe_bloom_cogrouped``).
+    Shuffle volume = 16 bytes/key."""
     p = params
 
     def per_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -109,12 +110,24 @@ def build_bloom(df: DataFrame, params: BloomParams, key_col: str = "url_key") ->
         F.pmod(F.col("h2"), F.lit(1 << 62)).alias("h2"),
         F.pmod(F.col("h1"), F.lit(p.n_shards)).cast("int").alias("shard"),
     )
-    rows = (
-        hashed.groupBy("shard")
-        .applyInPandas(per_shard, schema="shard int, bitmap binary")
-        .collect()
-    )
-    return ShardedBloom(p, {r["shard"]: np.frombuffer(r["bitmap"], dtype=np.uint8).copy() for r in rows})
+    return hashed.groupBy("shard").applyInPandas(per_shard, schema="shard int, bitmap binary")
+
+
+def build_bloom(df: DataFrame, params: BloomParams, key_col: str = "url_key") -> ShardedBloom:
+    """Broadcast-regime build: the distributed shard build, then collect the
+    (small) per-shard bitmaps — collected volume = n_shards × bits_per_shard/8
+    regardless of key count."""
+    rows = build_bloom_shards(df, params, key_col).collect()
+    return ShardedBloom(params, {r["shard"]: np.frombuffer(r["bitmap"], dtype=np.uint8).copy() for r in rows})
+
+
+@dataclass
+class CogroupedBloom:
+    """A sharded Bloom filter kept as a DataFrame — never driver-held, never
+    broadcast. ``shards`` is the (shard, bitmap) table from
+    ``build_bloom_shards`` (or read back from parquet)."""
+    params: BloomParams
+    shards: DataFrame
 
 
 def bloom_shards_df(spark: SparkSession, bloom: ShardedBloom) -> DataFrame:
@@ -253,7 +266,7 @@ def dedup_against_seen(
     spark: SparkSession,
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: "ShardedBloom | bytes | None",
+    bloom: "ShardedBloom | CogroupedBloom | bytes | None",
     key_col: str = "url_key",
     observation=None,
     cache_registry: "list[DataFrame] | None" = None,
@@ -301,6 +314,8 @@ def dedup_against_seen(
                 _observe_zero(candidates).join(seen.select(key_col), key_col, "left_anti"),
                 candidates.limit(0),
             )
+    elif isinstance(bloom, CogroupedBloom):
+        probed = probe_bloom_cogrouped(candidates, bloom.shards, bloom.params, key_col)
     else:
         probed = probe_bloom(spark, candidates, bloom, key_col)
     if observation is not None:

@@ -724,6 +724,60 @@ def lang_id_confusion(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("count"))
 
 
+def _trigram_oracle_sql() -> str:
+    """DuckDB twin of functions.text.detect_language_trigram, generated from
+    the SAME profile dict so the two scoring chains cannot drift."""
+    from warcbase_spark.functions.text import LANG_TRIGRAM_ORDER, LANG_TRIGRAM_PROFILES
+
+    def score(tris: list[str]) -> str:
+        n = len(tris)
+        terms = [
+            f"{n - i} * ((length(t) - length(replace(t, '{tri}', ''))) // 3)"
+            for i, tri in enumerate(tris)
+        ]
+        return " + ".join(terms)
+
+    scores = ",\n        ".join(
+        f"({score(LANG_TRIGRAM_PROFILES[l])}) AS s_{l}" for l in LANG_TRIGRAM_ORDER
+    )
+    total = " + ".join(f"s_{l}" for l in LANG_TRIGRAM_ORDER)
+    chain = [f"WHEN text IS NULL OR ({total}) = 0 THEN 'und'"]
+    for j, lang in enumerate(LANG_TRIGRAM_ORDER[:-1]):
+        conds = " AND ".join(f"s_{lang} >= s_{o}" for o in LANG_TRIGRAM_ORDER[j + 1:])
+        chain.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(chain) + f" ELSE '{LANG_TRIGRAM_ORDER[-1]}' END"
+    return f"""
+    WITH padded AS (
+      SELECT lang, text,
+             ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS t
+      FROM documents
+    ),
+    scored AS (
+      SELECT lang, text,
+        {scores}
+      FROM padded
+    )
+    SELECT lang, {case} AS detected, count(*) AS count
+    FROM scored GROUP BY 1, 2
+    """
+
+
+@query("lang_id_trigram", _trigram_oracle_sql())
+def lang_id_trigram(spark, sf_dir):
+    """X11 upgraded: character-trigram profile classifier (Cavnar-Trenkle
+    style, pure JVM Column arithmetic — no UDF), confusion counts vs the
+    labeled lang column. Real-sentence golden vectors in tests/test_text.py;
+    this query pins the engine-exact arithmetic against DuckDB."""
+    from warcbase_spark.functions.text import detect_language_trigram
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", detect_language_trigram(F.col("text")).alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 @query(
     "dedup_exact",
     """
