@@ -69,9 +69,13 @@ def bandwidth_ceiling(quad: int) -> dict:
 
 
 def run_level(root: str, cpus: int, n: int, repeat: int) -> dict:
+    env = dict(os.environ)
+    # tmpfs scratch: isolates the measurement from bursty co-tenant disk
+    # throttling on the sandbox's virtio disk (see session.get_spark note)
+    env.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_bench_scratch")
     out = subprocess.run(
         [sys.executable, "-c", CHILD.format(root=root), str(cpus), str(n), str(repeat)],
-        capture_output=True, text=True, timeout=1800,
+        capture_output=True, text=True, timeout=1800, env=env,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):

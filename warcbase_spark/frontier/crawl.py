@@ -235,7 +235,23 @@ class FrontierCrawl:
         streams fetch→extract→canonicalize→robots→dedup→merge end-to-end.
         Every counter is an ``observe()`` metric riding those passes — the
         round-1 design ran ~10 extra ``.count()`` jobs per round, which at a
-        10k-round crawl is the dominant scheduler overhead."""
+        10k-round crawl is the dominant scheduler overhead.
+
+        AQE is disabled for the round's actions (restored after): the round's
+        stage graph is FIXED and its skew is handled explicitly (politeness
+        salting, static shuffle partitioning), so AQE's per-exchange
+        materialization only adds driver-serial sub-jobs — measured 16% of
+        round wall-clock at local[4] (BENCH.md A/B), repeated every round.
+        AQE stays on session-wide for ad-hoc analytics."""
+        spark = self.spark
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return self._run_round_inner(rnd)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+    def _run_round_inner(self, rnd: int) -> RoundMetrics:
         spark = self.spark
         m = RoundMetrics(round=rnd)
         frontier = spark.read.parquet(self._p("frontier", rnd))

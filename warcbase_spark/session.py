@@ -39,6 +39,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Shuffle/spill scratch space. On this sandbox the virtio disk suffers
+    # bursty host-side throttling (co-tenant I/O), which serializes shuffle
+    # writes and wrecks scaling measurements; a real cluster node has local
+    # NVMe. SPARK_GRAFT_LOCAL_DIR=/dev/shm/... puts scratch on tmpfs.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
