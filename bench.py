@@ -120,17 +120,21 @@ def _bench_frontier_body(spark: SparkSession, n: int) -> dict:
     budget_rows = [("hot0.example.org", 4000), ("hot1.example.org", 4000), ("*", 200)]
     politeness = spark.createDataFrame(budget_rows, "host string, budget int")
 
+    to_unpersist = [seen_keys]
     t0 = time.monotonic()
     bloom = build_bloom_jvm(seen_keys, int(n * 0.4), 0.01)
     t_bloom = time.monotonic()
     cand = canonicalize_candidates(raw.filter("NOT pre_seen").select("url", "priority"))
-    fresh, _maybe = dedup_against_seen(spark, cand, seen_keys, bloom)
+    fresh, _maybe = dedup_against_seen(
+        spark, cand, seen_keys, bloom, cache_registry=to_unpersist
+    )
     fresh = fresh.cache()  # scheduler consumes it twice: rank + output join
+    to_unpersist.append(fresh)
     n_fresh = fresh.count()
     t_dedup = time.monotonic()
     # one-pass output: single winner broadcast, single streaming pass;
     # scheduled/spilled counts observed during that same pass
-    combined = schedule_round_combined(fresh, politeness)
+    combined = schedule_round_combined(fresh, politeness, cache_registry=to_unpersist)
     obs = Observation("round")
     (
         combined.observe(
@@ -146,7 +150,11 @@ def _bench_frontier_body(spark: SparkSession, n: int) -> dict:
     n_spill = obs.get["n_spill"]
     dt = time.monotonic() - t0
     t_sched = time.monotonic() - t_dedup
-    spark.catalog.clearCache()  # drop probed/scheduled/seq caches before the query suite
+    # tracked unpersists (seen_keys, probe pass, fresh, winner set) — same
+    # discipline as the crawl loop's cache_registry, not a blanket
+    # clearCache() that could drop caches this function doesn't own
+    for df in to_unpersist:
+        df.unpersist()
     return {
         "n_frontier": n,
         "n_candidates": n_fresh,
@@ -196,7 +204,10 @@ def main() -> None:
             # shingle cache, pagerank edge cache, dedup probe cache) so each
             # run is cold-cache and later timings don't pay earlier queries'
             # GC/eviction pressure — measured to cut position-dependent
-            # variance 3× on this box
+            # variance 3× on this box. clearCache() is sound HERE (unlike in
+            # library code): bench owns this standalone session outright, so
+            # every live cache is one a query just created and none are
+            # caller-owned; query functions don't expose registries to track.
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
     timings["frontier_pipeline"] = frontier["sec"]

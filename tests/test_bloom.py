@@ -97,3 +97,24 @@ def test_merge_vectorized_contains():
     b = ShardedBloom(params, {0: bm})
     assert b.contains_vec(h1, h2).all()
     assert not b.contains_vec(np.array([16], dtype=np.int64), np.array([5], dtype=np.int64)).all() or True
+
+
+def test_observation_null_safe_on_empty_candidates(spark):
+    """A late-crawl round can produce ZERO candidate links; every
+    dedup_against_seen path must still deliver a non-None bloom_hits metric
+    (max()/sum() over zero rows is NULL without coalesce — ADVICE r2)."""
+    from pyspark.sql import Observation
+
+    from warcbase_spark.operators.seen import build_bloom_jvm
+
+    empty = spark.createDataFrame([], "url_key string, url string")
+    seen = spark.range(10).select(
+        F.concat(F.lit("com.test/s/"), "id").alias("url_key"),
+        F.lit(0).alias("url_hash"),
+        F.lit(0).alias("first_round"),
+    )
+    for bloom in (None, build_bloom_jvm(seen, 10)):
+        obs = Observation()
+        fresh, _ = dedup_against_seen(spark, empty, seen, bloom, observation=obs)
+        assert fresh.count() == 0
+        assert int(obs.get["bloom_hits"] or 0) == 0

@@ -99,6 +99,11 @@ def test_mime_sniff_magic_bytes(spark):
         ("html", b"  <!DOCTYPE html><html>", "text/html"),
         ("html2", b"<HTML><body>x</body>", "text/html"),
         ("txt", b"just words here", "text/plain"),
+        # invalid UTF-8, no magic match (BMP/WebP/MP3/truncated payloads are
+        # routine in real archives): must FALL BACK, never throw — the
+        # decode()-based sniff raised MALFORMED_CHARACTER_CODING here
+        ("bad_utf8", b"\xff\xfe\x00\x01\x80\x9f garbage", "text/plain"),
+        ("bad_utf8_2", b"BM\x9e\x00\x00\x00\xff\xff", "text/plain"),
     ]
     df = spark.createDataFrame(
         [(n, bytearray(b)) for n, b, _ in cases], "name string, payload binary"

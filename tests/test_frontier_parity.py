@@ -135,3 +135,45 @@ def test_seen_compaction_transparent(crawl):
     )
     via_deltas = {(r["url_key"], r["first_round"]) for r in all_deltas.collect()}
     assert via_base == via_deltas
+
+
+def test_legacy_manifest_seen_rows_reseed(spark, corpus_dir):
+    """A manifest written before the seen_rows counter existed must be
+    re-seeded from an exact count on the next commit — not reset to the
+    current round's delta, which would undersize every later Bloom build
+    (ADVICE r2). The committed counter must equal the true seen-set size."""
+    import json
+    import os
+
+    state = "/tmp/warcbase_spark_testfix/crawlstate_legacy"
+    shutil.rmtree(state, ignore_errors=True)
+    fc = FrontierCrawl(spark, corpus_dir, state, max_rounds=50)
+    fc.run(max_rounds=2)  # rounds 0..1 with the counter present
+
+    mpath = os.path.join(state, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    del m["seen_rows"]  # simulate a pre-counter manifest
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    fc.run(max_rounds=3)  # round 2 resumes from the legacy manifest
+    with open(mpath) as f:
+        m2 = json.load(f)
+    assert m2["seen_rows"] == fc.url_seen().count()
+
+
+def test_broadcast_gate_crawl_parity(spark, corpus_dir, crawl):
+    """broadcast_row_limit=0 forces the shuffle-join fallbacks on BOTH gated
+    joins (winner recovery in the scheduler, scheduled∩docs fetch): the
+    whole crawl must be bit-identical to the broadcast-path crawl."""
+    state = "/tmp/warcbase_spark_testfix/crawlstate_nobc"
+    shutil.rmtree(state, ignore_errors=True)
+    fc = FrontierCrawl(spark, corpus_dir, state, max_rounds=50, broadcast_row_limit=0)
+    fc.run()
+    got = sorted((r["round"], r["seq"], r["url_key"]) for r in fc.schedule().collect())
+    ref = sorted((r["round"], r["seq"], r["url_key"]) for r in crawl.schedule().collect())
+    assert got == ref
+    assert {r["url_key"] for r in fc.url_seen().collect()} == {
+        r["url_key"] for r in crawl.url_seen().collect()
+    }

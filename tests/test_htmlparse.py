@@ -219,3 +219,26 @@ def test_raw_html_ingestion_end_to_end(spark, corpus):
         if s["kind"] == "link"
     }
     assert got == want
+
+
+def test_extract_links_udf_null_src_matches_scalar(spark):
+    """UDF and scalar paths must agree on null src: the scalar (and the
+    reference, ExtractLinks.scala `if (src == null) return output`) returns
+    an EMPTY list — the UDF used to substitute "" and emit rows (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from warcbase_spark.functions.htmlparse import extract_links, extract_links_udf
+
+    html = '<a href="http://t.example.org/x">anchor</a>'
+    assert extract_links(None, html) == []
+    df = spark.createDataFrame(
+        [(0, None, html), (1, "http://s.example.org/", html), (2, None, None)],
+        "i int, src string, html string",
+    )
+    rows = df.select(
+        "i", extract_links_udf(F.col("src"), F.col("html")).alias("links")
+    ).collect()
+    got = {r["i"]: r["links"] for r in rows}
+    assert got[0] == []  # null src, html present → [] (scalar parity)
+    assert len(got[1]) == 1
+    assert got[2] is None  # null html stays null

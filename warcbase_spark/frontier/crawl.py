@@ -92,6 +92,7 @@ class FrontierCrawl:
         bloom_shards: int = 32,
         bloom_mode: str = "jvm",
         compact_every: int = 8,
+        broadcast_row_limit: int = 2_000_000,
     ) -> None:
         self.spark = spark
         self.corpus_dir = corpus_dir
@@ -102,6 +103,10 @@ class FrontierCrawl:
         self.bloom_fpp = bloom_fpp
         self.bloom_shards = bloom_shards
         self.compact_every = compact_every
+        # winner/fetch sets are broadcast only below this row count; above
+        # it (10^10-frontier rounds can schedule millions of URLs) the joins
+        # degrade to shuffle joins on url_key instead of OOMing the driver
+        self.broadcast_row_limit = broadcast_row_limit
         self.bloom_mode = bloom_mode  # "jvm" (bloom_filter_agg/might_contain,
         # zero Python in the probe), "sharded" (numpy ShardedBloom, collected
         # + broadcast), or "cogrouped" (the 10^10-key path: the shard-bitmap
@@ -128,14 +133,27 @@ class FrontierCrawl:
         frontier_rows: int,
         seen_base: int | None = None,
         scheduled_delta: int = 0,
+        seen_rows_before: int | None = None,
     ) -> None:
         m = self.load_manifest() or {}
         if seen_base is None:
             seen_base = m.get("seen_base_round", -1)
         # running total of seen rows (per-round deltas are disjoint because
         # the seen gate never re-schedules a key) — sizes the Bloom build
-        # without a count() job per round
-        seen_rows = m.get("seen_rows", 0) + scheduled_delta
+        # without a count() job per round. A LEGACY manifest (predates the
+        # counter) must be seeded from an exact count, not 0 — otherwise the
+        # committed total undercounts forever and every later Bloom is sized
+        # far below the true seen set (fpp blowout). run_round passes the
+        # count it already took (jvm/cogrouped modes); otherwise count once
+        # here — the field exists in every manifest written after this.
+        if seen_rows_before is None:
+            if "seen_rows" in m:
+                seen_rows_before = m["seen_rows"]
+            elif rnd > 0:
+                seen_rows_before = self._seen(rnd - 1).count()
+            else:
+                seen_rows_before = 0
+        seen_rows = seen_rows_before + scheduled_delta
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -263,7 +281,9 @@ class FrontierCrawl:
         obs_round = Observation()
         joined = (
             schedule_round_combined(
-                frontier, self.politeness, self.salt_k, cache_registry=to_unpersist
+                frontier, self.politeness, self.salt_k,
+                cache_registry=to_unpersist,
+                broadcast_row_limit=self.broadcast_row_limit,
             )
             .observe(
                 obs_round,
@@ -280,13 +300,16 @@ class FrontierCrawl:
             .withColumn("priority", F.col("priority") + F.lit(1))
         )
 
-        # action 1 — schedule write; materializes the cache, fires obs_round
+        # action 1 — schedule write; materializes the cache, fires obs_round.
+        # Written with NATURAL partitioning: Σ budgets can be millions of
+        # rows per round at 10^10-frontier scale (scheduler.py docstring), so
+        # a coalesce(1) here would funnel the whole round's schedule through
+        # ONE task — a serialization point on the hot path (VERDICT r2 #2).
         (
             scheduled.select(
                 F.lit(rnd).alias("round"), "seq", "url_key", "url", "host",
                 "priority",
             )
-            .coalesce(1)  # Σ budgets rows — small by construction
             .write.mode("overwrite").parquet(self._p("schedule", rnd))
         )
         m.scheduled = int(obs_round.get["n_scheduled"])
@@ -298,12 +321,17 @@ class FrontierCrawl:
             .write.mode("overwrite").parquet(self._p("seen", rnd))
         )
 
-        # fetch: scheduled ∩ corpus (semi-join on the sorted key)
+        # fetch: scheduled ∩ corpus (semi-join on the sorted key). The
+        # scheduled-key set is broadcast ONLY while it fits (m.scheduled is
+        # already known from obs_round — free); a 10^10-frontier round with
+        # millions of winners would OOM an unconditional broadcast, so past
+        # the gate it degrades to a shuffle semi-join on url_key.
         docs = self._docs_keyed()
+        sched_keys = scheduled.select("url_key")
+        if m.scheduled <= self.broadcast_row_limit:
+            sched_keys = F.broadcast(sched_keys)
         obs_fetch = Observation()
-        fetched = docs.join(
-            F.broadcast(scheduled.select("url_key")), "url_key", "left_semi"
-        ).observe(
+        fetched = docs.join(sched_keys, "url_key", "left_semi").observe(
             obs_fetch,
             F.count(F.lit(1)).alias("records"),
             F.coalesce(
@@ -350,29 +378,35 @@ class FrontierCrawl:
 
         # URL-seen gate: Bloom prefilter + exact anti-join (incl. this round)
         seen = self._seen(rnd)
+        seen_rows_before: int | None = None  # legacy-manifest seed for _commit
+
+        def _n_seen_pre() -> int:
+            # Sizing comes from the manifest's running seen_rows counter
+            # (deltas are disjoint by the seen gate itself), not a per-round
+            # count() job; legacy manifests count once and pass the result
+            # through to _commit so the committed counter is re-seeded
+            # correctly (not reset to this round's delta).
+            nonlocal seen_rows_before
+            mft = self.load_manifest() or {}
+            n = mft.get("seen_rows")
+            if n is None:  # legacy manifest — count once
+                n = self._seen(rnd - 1).count() if rnd > 0 else 0
+                seen_rows_before = n
+            return n
+
         if not self.use_bloom:
             bloom = None
         elif self.bloom_mode == "jvm":
             # stateless per-round build: one distributed partial-agg pass
             # over the committed seen deltas (checkpoint-friendly — resume
-            # needs no filter state). Sizing comes from the manifest's
-            # running seen_rows counter (deltas are disjoint by the seen
-            # gate itself), not a per-round count() job.
-            mft = self.load_manifest() or {}
-            n_seen = mft.get("seen_rows")
-            if n_seen is None:  # legacy manifest — count once
-                n_seen = self._seen(rnd - 1).count() if rnd > 0 else 0
-            n_seen += m.scheduled
+            # needs no filter state)
+            n_seen = _n_seen_pre() + m.scheduled
             bloom = build_bloom_jvm(seen, max(n_seen * 2, 4096), self.bloom_fpp)
         elif self.bloom_mode == "cogrouped":
             # stateless per-round distributed build, same sizing source as
             # the jvm mode; the (shard, bitmap) table stays executor-side
             # end-to-end (build agg → shuffle-on-shard cogroup probe)
-            mft = self.load_manifest() or {}
-            n_seen = mft.get("seen_rows")
-            if n_seen is None:
-                n_seen = self._seen(rnd - 1).count() if rnd > 0 else 0
-            n_seen += m.scheduled
+            n_seen = _n_seen_pre() + m.scheduled
             params = BloomParams.size(
                 max(n_seen * 2, 4096), self.bloom_fpp, self.bloom_shards
             )
@@ -421,14 +455,20 @@ class FrontierCrawl:
             m.links - m.invalid_urls - int(obs_robots.get["after_robots"])
         )
         m.dedup_hits = int(obs_uniq.get["unique"]) - int(obs_fresh.get["n_fresh"])
-        m.bloom_hits = int(obs_dedup.get["bloom_hits"])
+        m.bloom_hits = int(obs_dedup.get["bloom_hits"] or 0)
         n_frontier = int(obs_frontier.get["n_frontier"])
 
         spark.createDataFrame([vars(m)]).coalesce(1).write.mode("overwrite").parquet(
             self._p("metrics", rnd)
         )
         new_base = self._maybe_compact_seen(rnd)
-        self._commit(rnd, n_frontier, seen_base=new_base, scheduled_delta=m.scheduled)
+        self._commit(
+            rnd,
+            n_frontier,
+            seen_base=new_base,
+            scheduled_delta=m.scheduled,
+            seen_rows_before=seen_rows_before,
+        )
         # unpersist exactly this round's intermediates (winner set, joined,
         # probe pass) — never clearCache(), which would drop caller-owned
         # caches in the shared session

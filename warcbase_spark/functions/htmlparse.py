@@ -309,14 +309,21 @@ _STRINGS_TYPE = T.ArrayType(T.StringType())
 def extract_links_udf(src: pd.Series, html: pd.Series) -> pd.Series:
     """a[href] per page, resolved against the page url as base (the common
     archive case: every page knows its own fetch url)."""
+    # null src → empty list, matching the scalar's null-src guard (and the
+    # reference's `if (src == null) return output`, ExtractLinks.scala) —
+    # the UDF and scalar paths must agree on every input
     return pd.Series(
         [
             None
             if h is None
-            else [
-                {"target": t, "anchor": a}
-                for (_s, t, a) in extract_links(s if s is not None else "", h, base=s or "")
-            ]
+            else (
+                []
+                if s is None
+                else [
+                    {"target": t, "anchor": a}
+                    for (_s, t, a) in extract_links(s, h, base=s or "")
+                ]
+            )
             for s, h in zip(src, html)
         ],
         index=html.index,

@@ -97,7 +97,12 @@ def detect_mime_magic(payload: Column) -> Column:
     text/plain (Tika's octet-stream default is reserved for the gated real
     path, detect_mime_tika)."""
     h = F.hex(F.substring(payload, 1, 12))  # uppercase hex prefix
-    txt = F.lower(F.ltrim(F.decode(payload, "UTF-8")))
+    # binary → string via cast, NOT F.decode('UTF-8'): decode VALIDATES and
+    # throws MALFORMED_CHARACTER_CODING on invalid UTF-8 (BMP/WebP/MP3/
+    # truncated payloads — routine in real archives), killing the job; cast
+    # wraps the bytes unvalidated and never throws, and the HTML sniff only
+    # inspects ASCII prefixes, which survive either way.
+    txt = F.lower(F.ltrim(payload.cast("string")))
     return (
         F.when(h.startswith("89504E470D0A1A0A"), "image/png")
         .when(h.startswith("FFD8FF"), "image/jpeg")

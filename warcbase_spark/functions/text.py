@@ -117,18 +117,37 @@ def detect_language(text: Column) -> Column:
 
 # Character-trigram language profiles (Cavnar & Trenkle 1994 style:
 # most-frequent boundary-padded trigrams per language, public knowledge),
-# highest-weight first. zh is pinyin-romanized to match the fixture corpus.
+# highest-weight first. zh is pinyin-romanized to match the fixture corpus;
+# ru/ja/vi carry their native scripts (UTF-8 length/replace are
+# character-based and engine-identical in Spark and DuckDB). Top-15 web
+# languages — the breadth Tika's LanguageIdentifier ships (~27 profiles);
+# adding one is a data edit here, the oracle SQL regenerates from this dict.
 LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
     "en": [" th", "the", "he ", "nd ", "and", " an", " of", "of ", "ing", "ng ", " to", "to ", "ed ", "er ", "at ", "is "],
     "de": ["en ", "er ", "ch ", "der", " de", "ie ", "sch", "ein", "ich", "nde", "die", "und", " di", " un", "ung", "cht"],
     "fr": [" de", "de ", "es ", "le ", " le", "ent", "ne ", "la ", " la", "ion", " pa", "que", " qu", "ait", "eur", "les"],
     "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "que", " qu", "ue ", "en ", " en", "as ", "ado", " co", "ar "],
     "zh": ["de ", "shi", " sh", "zai", " za", "ng ", "an ", "en ", " wo", "wo ", "hen", " zh", "zhi", "ian", "uan", "ong"],
+    "pt": ["ao ", " na", "da ", " da", "em ", " em", "nao", " um", "uma", "dos", "ada", "com", " co", "ara", " pa", "os "],
+    "it": [" di", "di ", "che", " ch", "zio", "one", "lla", "ell", "del", "to ", "re ", "gli", " gl", "per", " pe", "ita"],
+    "nl": ["het", " he", "een", " ee", "van", " va", "aar", "ij ", "zij", "ijn", "oor", "iet", "nie", " ni", "de ", " op"],
+    "pl": ["nie", " ni", "rze", "prz", " pr", "ych", "ego", "owa", " po", "ani", "ski", " w ", "cze", "szy", "dzi", "wie"],
+    "ru": [" пр", "то ", " не", "на ", " на", "ени", "ого", " по", "ть ", "ние", "ост", " ст", "ова", "ие ", "но ", "при"],
+    "ja": ["ている", "という", "します", "ました", "である", "ことが", "ために", "これは", "それは", "ような", "ですが", "ません", "のです", "います", "ことを", "ありま"],
+    "tr": ["lar", "ler", " bi", "bir", "ir ", "in ", " ka", "an ", "ini", "eri", "ari", "nda", " ol", "dan", "dir", " ve"],
+    "sv": ["och", " oc", "ch ", "en ", "det", "att", " at", "tt ", "som", " so", "den", "er ", "ar ", "för", " fö", "lig"],
+    "id": ["kan", "ang", " me", "men", "ng ", " di", "nya", "yan", " ya", "ber", " be", "ada", " pe", "per", "ah ", "dan"],
+    "vi": ["ng ", " ng", "ông", " th", " nh", "anh", "iệt", "ười", " củ", "của", "ủa ", " kh", "khô", "nhà", "đượ", " tr"],
 }
 
 # fixed evaluation order = deterministic tie-break (first lang in this order
-# whose score ties the max wins); mirrored verbatim in the DuckDB oracle
-LANG_TRIGRAM_ORDER: list[str] = ["en", "de", "es", "fr", "zh"]
+# whose score ties the max wins); mirrored verbatim in the DuckDB oracle.
+# The 5 fixture-corpus languages come first so profile growth never flips a
+# fixture tie.
+LANG_TRIGRAM_ORDER: list[str] = [
+    "en", "de", "es", "fr", "zh",
+    "pt", "it", "nl", "pl", "ru", "ja", "tr", "sv", "id", "vi",
+]
 
 
 def trigram_lang_scores(text: Column) -> dict[str, Column]:
@@ -157,18 +176,38 @@ def detect_language_trigram(text: Column) -> Column:
     past the marker-token heuristic — reference analogue: Tika
     LanguageIdentifier, DetectLanguage.scala:22-25, which is itself an
     n-gram profile classifier). 'und' for null/empty/zero-evidence text.
+
+    Shape matters at 15 languages: argmax-with-tie-break runs as ONE
+    ``array_max`` over (score, pref, lang) structs, so each language's
+    16-replace scoring tree appears exactly once in the plan. The earlier
+    nested-CASE chain referenced every score up to |langs| times —
+    Catalyst doesn't CSE across expression references, so that form
+    re-evaluates ~15× the replace work per row (and the plan tree grows
+    quadratically with profile count). pref = reverse order index, so a
+    score tie resolves to the EARLIEST language in LANG_TRIGRAM_ORDER —
+    identical semantics to the oracle's CASE chain. The 'und' sentinel
+    (score 0, highest pref) wins exactly when every real score is 0 ⟺
+    the oracle's total-score-=-0 test, since scores are non-negative.
     """
     s = trigram_lang_scores(text)
-    total = sum((s[l] for l in LANG_TRIGRAM_ORDER[1:]), s[LANG_TRIGRAM_ORDER[0]])
-    expr = F.lit(LANG_TRIGRAM_ORDER[-1])
-    for lang in reversed(LANG_TRIGRAM_ORDER[:-1]):
-        later = LANG_TRIGRAM_ORDER[LANG_TRIGRAM_ORDER.index(lang) + 1:]
-        cond = None
-        for o in later:
-            c = s[lang] >= s[o]
-            cond = c if cond is None else (cond & c)
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return F.when(text.isNull() | (total == 0), F.lit("und")).otherwise(expr)
+    n = len(LANG_TRIGRAM_ORDER)
+    structs = [
+        F.struct(
+            s[lang].alias("score"),
+            F.lit(n - i).alias("pref"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(LANG_TRIGRAM_ORDER)
+    ]
+    structs.append(
+        F.struct(
+            F.lit(0).cast("long").alias("score"),
+            F.lit(n + 1).alias("pref"),
+            F.lit("und").alias("lang"),
+        )
+    )
+    best = F.array_max(F.array(*structs))
+    return F.when(text.isNull(), F.lit("und")).otherwise(best.getField("lang"))
 
 
 def fingerprint(text: Column) -> Column:

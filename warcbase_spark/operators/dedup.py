@@ -163,22 +163,38 @@ def simhash16_col(text) -> F.Column:
 
     Simplification for portability: use hex digit b's LOW bit as the
     projection for bit b (16 independent-ish projections from 16 digits).
+
+    Cost shape (VERDICT r2 #3): md5 runs ONCE per token — ``transform``
+    digests the token array up front, then a single ``aggregate`` pass
+    carries a 16-counter struct accumulator whose merge only reads hex
+    digits of the bound digest variable (already-evaluated array elements,
+    no re-hashing). The old form ran one aggregate per bit, each calling
+    F.md5 on the same token — 16× the hashing for the same result.
     """
     w = tokens_col(text)
-    bits = []
     hexpos = "0123456789abcdef"
+    digests = F.transform(w, F.md5)
 
-    def contrib_for(bit: int) -> F.Column:
-        def merge(acc, t):
-            # hex digit `bit` of md5(token) → 0..15; its low bit is the ±1 sign
-            val = F.instr(F.lit(hexpos), F.substring(F.md5(t), bit + 1, 1)) - 1
-            return acc + F.when((val % 2) == 1, 1).otherwise(-1)
+    zero = F.struct(*[F.lit(0).alias(f"c{b}") for b in range(16)])
 
-        return F.aggregate(w, F.lit(0), merge)
+    def merge(acc: F.Column, d: F.Column) -> F.Column:
+        fields = []
+        for b in range(16):
+            # hex digit `b` of the digest → 0..15; its low bit is the ±1 sign
+            val = F.instr(F.lit(hexpos), F.substring(d, b + 1, 1)) - 1
+            fields.append(
+                (acc[f"c{b}"] + F.when((val % 2) == 1, 1).otherwise(-1)).alias(f"c{b}")
+            )
+        return F.struct(*fields)
 
-    for b in range(16):
-        bits.append(F.when(contrib_for(b) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bits[0]
-    for x in bits[1:]:
-        out = out + x
-    return out
+    def finish(acc: F.Column) -> F.Column:
+        # `finish` binds the final accumulator as a lambda VARIABLE, so the
+        # 16 field reads below are bound-variable lookups — referencing the
+        # aggregate expression itself 16 times would re-evaluate the whole
+        # (CodegenFallback) fold 16 times
+        out = F.when(acc["c0"] > 0, F.lit(1)).otherwise(F.lit(0))
+        for b in range(1, 16):
+            out = out + F.when(acc[f"c{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        return out
+
+    return F.aggregate(digests, zero, merge, finish)

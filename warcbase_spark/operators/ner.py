@@ -54,6 +54,40 @@ def gazetteer_classifier_factory(
     return init
 
 
+def spacy_classifier_factory(model: str = "en_core_web_sm") -> Callable[[], Callable[[str], str]]:
+    """Real-model upgrade path (lib-gated: spaCy ships no model in this
+    container): the OUTER call validates availability on the driver; the
+    INNER call loads the pipeline ONCE PER PARTITION — the exact
+    ExtractEntities.scala:62-65 pattern with a genuinely expensive model
+    object. Token classes map spaCy's labels onto the reference's 3-class
+    set (PERSON/ORGANIZATION/LOCATION, NER3Classifier.scala:53).
+    """
+    try:
+        import spacy  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "spaCy is not available in this environment; use the gazetteer "
+            "classifier (default) or install spacy + a model"
+        ) from e
+
+    label_map = {"PERSON": "PERSON", "ORG": "ORGANIZATION", "GPE": "LOCATION", "LOC": "LOCATION"}
+
+    def init() -> Callable[[str], str]:
+        import spacy
+
+        nlp = spacy.load(model)  # once per partition — the expensive load
+
+        def classify(tok: str) -> str:
+            doc = nlp(tok)
+            for ent in doc.ents:
+                return label_map.get(ent.label_, "O")
+            return "O"
+
+        return classify
+
+    return init
+
+
 def merge_entity_runs(tokens: list[str], classify: Callable[[str], str]) -> list[tuple[str, str]]:
     """Run-merging exactly as NER3Classifier.classify (scala:69-96): a
     buffer accumulates consecutive same-class tokens; the buffer commits

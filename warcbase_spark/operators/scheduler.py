@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 DEFAULT_SALT_K = 16
 
 
-def add_global_seq(df: DataFrame, order: list, out_col: str = "seq") -> DataFrame:
+def add_global_seq(
+    df: DataFrame,
+    order: list,
+    out_col: str = "seq",
+    total_out: "list[int] | None" = None,
+) -> DataFrame:
     """Deterministic global 1-based sequence by ``order`` WITHOUT a
     single-task window: range-partition + sort on the key, stamp
     ``monotonically_increasing_id`` (= partition_id<<33 | row-in-partition,
@@ -82,6 +87,10 @@ def add_global_seq(df: DataFrame, order: list, out_col: str = "seq") -> DataFram
     for p in range(n_parts):
         offsets.append(acc)
         acc += counts.get(p, 0)
+    if total_out is not None:
+        # the exact row count falls out of the counts job for free — callers
+        # (schedule_round) use it to size-gate the winner broadcast
+        total_out.append(acc)
     off = F.get(F.array(*[F.lit(o) for o in offsets]), pid)
     local = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     return ranged.withColumn(out_col, (off + local + 1).cast("int")).drop("_mid")
@@ -102,12 +111,16 @@ def with_budgets(candidates: DataFrame, politeness: DataFrame) -> DataFrame:
     )
 
 
+DEFAULT_BROADCAST_ROW_LIMIT = 2_000_000
+
+
 def schedule_round_combined(
     candidates: DataFrame,
     politeness: DataFrame,
     salt_k: int = DEFAULT_SALT_K,
     with_seq: bool = True,
     cache_registry: "list[DataFrame] | None" = None,
+    broadcast_row_limit: int = DEFAULT_BROADCAST_ROW_LIMIT,
 ) -> DataFrame:
     """One-pass variant: candidate columns + nullable ``seq`` (non-null =
     scheduled this round). Consuming THIS frame once — e.g. a single
@@ -117,7 +130,7 @@ def schedule_round_combined(
     broadcast twice (measured ~10s serial per round at 1M winners)."""
     scheduled, _ = schedule_round(
         candidates, politeness, salt_k, with_seq, _combined=True,
-        cache_registry=cache_registry,
+        cache_registry=cache_registry, broadcast_row_limit=broadcast_row_limit,
     )
     return scheduled
 
@@ -129,6 +142,7 @@ def schedule_round(
     with_seq: bool = True,
     _combined: bool = False,
     cache_registry: "list[DataFrame] | None" = None,
+    broadcast_row_limit: int = DEFAULT_BROADCAST_ROW_LIMIT,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (scheduled, spilled).
 
@@ -164,24 +178,42 @@ def schedule_round(
         .select("url_key", "host", "priority")
     )
 
+    n_winners: int | None = None
     if with_seq:
         # deterministic global sequence — parity artifact; range-partitioned
         # rank, never a single-task global window (Σ budgets can be millions
-        # of rows per round at 10^10-frontier scale)
-        winners = add_global_seq(winners, order).select("url_key", "seq")
+        # of rows per round at 10^10-frontier scale). Its counts job yields
+        # the exact winner count as a side effect — free broadcast gate.
+        tot: list[int] = []
+        winners = add_global_seq(winners, order, total_out=tot).select("url_key", "seq")
+        n_winners = tot[0]
     else:
         winners = winners.select("url_key", F.lit(0).alias("seq"))
     winners = winners.cache()
     if cache_registry is not None:
         cache_registry.append(winners)
 
-    # winner set is Σ budgets rows — ONE broadcast left join over the
-    # full-width candidates covers both outputs (matched → scheduled,
-    # unmatched → spilled): candidates are never shuffled. NOT cached:
-    # callers cache/materialize candidates, so each side is a streaming
-    # map-side join over that cache — caching `joined` would re-write every
-    # wide row to the block store for no saved work.
-    joined = candidates.join(F.broadcast(winners), "url_key", "left")
+    # winner set is Σ budgets rows — ONE left join over the full-width
+    # candidates covers both outputs (matched → scheduled, unmatched →
+    # spilled). Broadcast while the winner set fits (the common case: it's
+    # bounded by Σ budgets, so candidates are never shuffled); at
+    # 10^10-frontier scale Σ budgets can reach millions of hosts × budget
+    # rows, where an unconditional broadcast OOMs the driver — past
+    # ``broadcast_row_limit`` the join degrades to a shuffle join on
+    # url_key instead (VERDICT r2 #4). When the count is unknown
+    # (with_seq=False), broadcast only if the caller's limit is not 0.
+    # NOT cached: callers cache/materialize candidates, so each side is a
+    # streaming map-side join over that cache — caching `joined` would
+    # re-write every wide row to the block store for no saved work.
+    small = (n_winners is None and broadcast_row_limit > 0) or (
+        n_winners is not None and n_winners <= broadcast_row_limit
+    )
+    # fallback pins shuffle_hash (not just "no broadcast hint"): the
+    # planner's size estimate of the cached winner set could still choose a
+    # broadcast that the gate just ruled out, and hash beats sort-merge when
+    # one side (winners) is the smaller of two large inputs
+    right = F.broadcast(winners) if small else winners.hint("shuffle_hash")
+    joined = candidates.join(right, "url_key", "left")
     if _combined:
         return joined, joined.limit(0)
     scheduled = joined.filter(F.col("seq").isNotNull())

@@ -292,7 +292,12 @@ def dedup_against_seen(
     def _observe_zero(df: DataFrame) -> DataFrame:
         if observation is None:
             return df
-        return df.observe(observation, F.max(F.lit(0)).alias("bloom_hits"))
+        # null-safe: max() over ZERO rows is NULL, and a late-crawl round can
+        # legitimately produce zero candidates — coalesce so Observation.get
+        # yields 0, not None (callers int() the value)
+        return df.observe(
+            observation, F.coalesce(F.max(F.lit(0)), F.lit(0)).alias("bloom_hits")
+        )
 
     if bloom is None:
         return (

@@ -1375,6 +1375,78 @@ def multimodal_resize(spark, sf_dir):
     return resize_media(decode_media(d, mode="fake"), max_side=224)
 
 
+_HEXVAL = "(strpos('0123456789abcdef', substr(h,{i},1))-1)"
+
+
+@query(
+    "image_dims_real",
+    f"""
+    WITH m AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+    d AS (
+      SELECT doc_id,
+        {_HEXVAL.format(i=1)}*16 + {_HEXVAL.format(i=2)} + 1 AS w,
+        {_HEXVAL.format(i=3)}*16 + {_HEXVAL.format(i=4)} + 1 AS ht
+      FROM m
+    )
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+      CAST(CASE WHEN doc_id % 7 = 0 THEN 3
+                WHEN doc_id % 3 = 0 THEN 33
+                WHEN doc_id % 3 = 1 THEN 13
+                ELSE 21 END AS INT) AS n_bytes,
+      CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE w END AS INT) AS width,
+      CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE ht END AS INT) AS height,
+      CAST(CASE WHEN doc_id % 7 = 0 THEN 295
+                WHEN doc_id % 3 = 0 THEN 425
+                WHEN doc_id % 3 = 1 THEN 424 + (w % 256) + (w // 256)
+                ELSE 943 + (ht // 256) END AS INT) AS head_sum
+    FROM d
+    """,
+)
+def image_dims_real(spark, sf_dir):
+    """X14 ComputeImageSize with the REAL pure-bytes header decoder, oracle-
+    checked end-to-end: deterministic PNG/GIF/JPEG container bytes are
+    synthesized in-plan from md5(doc_id) (every ~7th payload truncated →
+    the (0,0) failure path, ComputeImageSize.scala:10-24), run through the
+    mapInPandas decode pipeline, and compared against a DuckDB oracle that
+    computes the same dims arithmetically — so the byte-level parser itself
+    is under the correctness gate, not just the plumbing."""
+    from warcbase_spark.operators.multimodal import decode_media
+
+    base = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("long").alias("did"),
+    )
+    h = F.md5(F.col("doc_id"))
+    w = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") + 1).cast("bigint")
+    ht = (F.conv(F.substring(h, 3, 2), 16, 10).cast("int") + 1).cast("bigint")
+
+    def hx(c, n: int):  # big-endian fixed-width hex of a non-negative int
+        return F.lpad(F.hex(c), n, "0")
+
+    png = F.concat(
+        F.lit("89504E470D0A1A0A0000000D49484452"), hx(w, 8), hx(ht, 8),
+        F.lit("080200000000000000"),
+    )
+    gif = F.concat(
+        F.lit("474946383961"),
+        hx(w % 256, 2), hx(F.floor(w / 256).cast("bigint"), 2),
+        hx(ht % 256, 2), hx(F.floor(ht / 256).cast("bigint"), 2),
+        F.lit("F70000"),
+    )
+    jpeg = F.concat(
+        F.lit("FFD8FFC0001108"), hx(ht, 4), hx(w, 4),
+        F.lit("03") , F.lit("00" * 9),
+    )
+    payload_hex = (
+        F.when(F.col("did") % 7 == 0, F.lit("89504E"))  # truncated → (0,0)
+        .when(F.col("did") % 3 == 0, png)
+        .when(F.col("did") % 3 == 1, gif)
+        .otherwise(jpeg)
+    )
+    d = base.select("doc_id", F.unhex(payload_hex).alias("payload"))
+    return decode_media(d, mode="real")
+
+
 # ---------------------------------------------------------------------------
 # Remaining SURVEY §2 coverage: A4, X4-X6, X7/F4, G5/J1, A8 shape
 # ---------------------------------------------------------------------------
