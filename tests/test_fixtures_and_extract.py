@@ -99,11 +99,25 @@ def test_mime_sniff_magic_bytes(spark):
         ("html", b"  <!DOCTYPE html><html>", "text/html"),
         ("html2", b"<HTML><body>x</body>", "text/html"),
         ("txt", b"just words here", "text/plain"),
+        ("bmp", b"BM\x9e\x01\x00\x00", "image/bmp"),
+        ("ico", b"\x00\x00\x01\x00\x02\x00", "image/x-icon"),
+        ("tiff_le", b"II*\x00rest", "image/tiff"),
+        ("tiff_be", b"MM\x00*rest", "image/tiff"),
+        ("webp", b"RIFF\x10\x00\x00\x00WEBPVP8 ", "image/webp"),
+        ("wav", b"RIFF\x10\x00\x00\x00WAVEfmt ", "audio/x-wav"),
+        ("avi", b"RIFF\x10\x00\x00\x00AVI LIST", "video/x-msvideo"),
+        ("mp3_id3", b"ID3\x04\x00rest", "audio/mpeg"),
+        ("mp3_raw", b"\xff\xfb\x90\x00rest", "audio/mpeg"),
+        ("ogg", b"OggS\x00\x02", "application/ogg"),
+        ("flac", b"fLaC\x00\x00\x00\x22", "audio/x-flac"),
+        ("mp4", b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        ("webm", b"\x1a\x45\xdf\xa3\x01\x00", "video/webm"),
+        ("sevenz", b"7z\xbc\xaf\x27\x1c\x00\x04", "application/x-7z-compressed"),
         # invalid UTF-8, no magic match (BMP/WebP/MP3/truncated payloads are
         # routine in real archives): must FALL BACK, never throw — the
         # decode()-based sniff raised MALFORMED_CHARACTER_CODING here
         ("bad_utf8", b"\xff\xfe\x00\x01\x80\x9f garbage", "text/plain"),
-        ("bad_utf8_2", b"BM\x9e\x00\x00\x00\xff\xff", "text/plain"),
+        ("bad_utf8_2", b"\x81\x9f\xc0\xc1\xfe\xff\xf5", "text/plain"),
     ]
     df = spark.createDataFrame(
         [(n, bytearray(b)) for n, b, _ in cases], "name string, payload binary"

@@ -103,14 +103,29 @@ def detect_mime_magic(payload: Column) -> Column:
     # wraps the bytes unvalidated and never throws, and the HTML sniff only
     # inspects ASCII prefixes, which survive either way.
     txt = F.lower(F.ltrim(payload.cast("string")))
+    # RIFF containers (WebP/WAV/AVI) discriminate on bytes 9-12; MP4-family
+    # on the 'ftyp' box at offset 5 (hex chars 9-16)
+    riff_kind = F.substring(h, 17, 8)
     return (
         F.when(h.startswith("89504E470D0A1A0A"), "image/png")
         .when(h.startswith("FFD8FF"), "image/jpeg")
         .when(h.startswith("47494638"), "image/gif")
+        .when(h.startswith("424D"), "image/bmp")
+        .when(h.startswith("00000100"), "image/x-icon")
+        .when(h.startswith("49492A00") | h.startswith("4D4D002A"), "image/tiff")
+        .when(h.startswith("52494646") & (riff_kind == "57454250"), "image/webp")
+        .when(h.startswith("52494646") & (riff_kind == "57415645"), "audio/x-wav")
+        .when(h.startswith("52494646") & (riff_kind == "41564920"), "video/x-msvideo")
         .when(h.startswith("25504446"), "application/pdf")
         .when(h.startswith("504B0304"), "application/zip")
         .when(h.startswith("1F8B"), "application/gzip")
+        .when(h.startswith("377ABCAF271C"), "application/x-7z-compressed")
+        .when(h.startswith("494433") | h.startswith("FFFB") | h.startswith("FFF3"), "audio/mpeg")
+        .when(h.startswith("4F676753"), "application/ogg")
+        .when(h.startswith("664C6143"), "audio/x-flac")
         .when(h.startswith("000001BA") | h.startswith("000001B3"), "video/mpeg")
+        .when(F.substring(h, 9, 8) == "66747970", "video/mp4")
+        .when(h.startswith("1A45DFA3"), "video/webm")
         .when(txt.startswith("<!doctype html") | txt.startswith("<html"), "text/html")
         .otherwise("text/plain")
     )

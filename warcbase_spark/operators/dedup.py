@@ -153,6 +153,74 @@ def verified_jaccard(pairs: DataFrame, sh: DataFrame, min_inter: int = 3) -> Dat
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a w-hash window, keep each window's minimum.
+    Guarantees a match ≥ w+k-1 chars long always shares a fingerprint,
+    while storing only ~1/w of the grams.
+
+    Engine-portable shape: the k-gram rows are exploded and the window min
+    runs as a plain SQL window (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)
+    — identical syntax/semantics in DuckDB, everything JVM-side. This is
+    deliberately NOT a nested higher-order-function expression: an inner
+    array reference inside a transform() lambda is re-evaluated per
+    element (Catalyst has no let-binding), turning O(n) hashing into
+    O(n·w). Hashes are md5-hex prefixes so lexicographic MIN agrees across
+    engines. Returns distinct (doc, fp) rows.
+    """
+    from pyspark.sql import Window
+
+    normed = docs.select(
+        F.col(id_col).alias("doc"),
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))).alias("_t"),
+    ).filter(F.length("_t") >= k)
+    grams = normed.select(
+        "doc",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - (k - 1))).alias("pos"),
+        "_t",
+    ).select(
+        "doc",
+        "pos",
+        F.substring(F.md5(F.substring(F.col("_t"), F.col("pos"), F.lit(k))), 1, 8).alias("h"),
+        (F.length("_t") - (k - 1)).alias("m"),
+    )
+    wspec = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("fp", F.min("h").over(wspec))
+        .filter(F.col("pos") <= F.greatest(F.col("m") - (w - 1), F.lit(1)))
+        .select("doc", "fp")
+        .distinct()
+    )
+
+
+def winnow_pairs(
+    fps: DataFrame, max_df: int = 100, min_shared: int = 3
+) -> DataFrame:
+    """(a, b, shared) doc pairs sharing ≥ min_shared winnowed fingerprints,
+    via the fingerprint inverted index. Same hot-key guard as
+    ``rare_shingles``: fingerprints with document frequency > max_df are
+    corpus boilerplate and would make the self-join quadratic in their df —
+    dropped via a broadcast anti-join before pairing."""
+    hot = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > max_df)
+    rare = fps.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
+    a = rare.select(F.col("doc").alias("a"), "fp")
+    b = rare.select(F.col("doc").alias("b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+
+
 def simhash16_col(text) -> F.Column:
     """16-bit SimHash over normalized tokens, engine-portable.
 

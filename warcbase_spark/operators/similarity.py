@@ -137,6 +137,130 @@ def bucketed_neighbors(
     )
 
 
+def ivf_centroids(n_cells: int, dim: int, seed: int) -> list[list[int]]:
+    """Seeded integer centroid matrix for the IVF coarse quantizer — shared
+    by the Spark expression and the SQL oracle (same literals, both
+    engines). Integer components in [-1000, 1000] so every assignment dot
+    product is exact 64-bit integer arithmetic."""
+    rng = random.Random(seed)
+    return [[rng.randint(-1000, 1000) for _ in range(dim)] for _ in range(n_cells)]
+
+
+def _ivf_scores(emb, cents: list[list[int]]) -> list[Column]:
+    """Integer inner-product score of the fixed-point embedding against each
+    centroid (spherical-k-means-style assignment — argmax inner product)."""
+    q = F.transform(emb, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"))
+    out = []
+    for cv in cents:
+        sv = F.array(*[F.lit(s) for s in cv])
+        out.append(
+            F.aggregate(
+                F.zip_with(q, sv, lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            )
+        )
+    return out
+
+
+def ivf_cell(emb, n_cells: int = 16, dim: int = 64, seed: int = 13) -> Column:
+    """IVF cell id = argmax-centroid-score, earliest index on ties (struct
+    array_max with a reverse-index pref field — each score expression
+    appears exactly once in the plan). At cluster scale the cell is the
+    PARTITION KEY of the vector table (write partitioned/clustered by cell),
+    so an nprobe query prunes to nprobe partitions of the scan."""
+    cents = ivf_centroids(n_cells, dim, seed)
+    structs = [
+        F.struct(
+            s.alias("score"), F.lit(n_cells - i).alias("pref"), F.lit(i).alias("cell")
+        )
+        for i, s in enumerate(_ivf_scores(emb, cents))
+    ]
+    return F.array_max(F.array(*structs)).getField("cell")
+
+
+def ivf_topk(
+    emb_df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF approximate top-k: assign vectors to their argmax centroid cell,
+    search only the query's ``nprobe`` best cells, brute-force cosine
+    within. The query's cell ranking comes from a ONE-ROW collect of its
+    integer centroid scores (exact — no float re-derivation on the driver),
+    then the candidate filter is a literal ``cell IN (...)`` — the shape
+    that becomes partition pruning when the table is stored
+    partitioned-by-cell."""
+    cents = ivf_centroids(n_cells, dim, seed)
+    v = as_double(F.col(emb_col))
+    e = emb_df.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        ivf_cell(F.col(emb_col), n_cells, dim, seed).alias("cell"),
+    )
+    qscores = (
+        emb_df.filter(F.col(id_col) == query_id)
+        .select(F.array(*_ivf_scores(F.col(emb_col), cents)).alias("s"))
+        .collect()[0]["s"]
+    )
+    probes = sorted(range(n_cells), key=lambda i: (-qscores[i], i))[:nprobe]
+    q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    return (
+        e.filter(F.col("cell").isin(probes) & (F.col("vec_id") != query_id))
+        .join(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 3).alias("sim"))
+        .orderBy(F.desc("sim"), "vec_id")
+        .limit(k)
+    )
+
+
+def ivf_oracle_sql(
+    n_cells: int = 16,
+    nprobe: int = 2,
+    k: int = 10,
+    query_id: int = 0,
+    dim: int = 64,
+    seed: int = 13,
+) -> str:
+    """DuckDB twin of ``ivf_topk`` over the same seeded centroids: cell =
+    first index of the max score (list_position tie-breaks earliest, same
+    as the Spark pref field); probe cells ranked (score DESC, cell ASC)."""
+    cents = ivf_centroids(n_cells, dim, seed)
+    scores = ", ".join(
+        "list_sum(list_transform(list_zip(q, [" + ", ".join(str(c) for c in cv)
+        + "]), p -> p[1] * p[2]))"
+        for cv in cents
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    sc AS MATERIALIZED (SELECT vec_id, v, [{scores}] AS ss FROM e),
+    cellt AS MATERIALIZED (
+      SELECT vec_id, v, list_position(ss, list_max(ss)) - 1 AS cell, ss FROM sc
+    ),
+    qcells AS (
+      SELECT t.i - 1 AS cell FROM (SELECT ss FROM cellt WHERE vec_id = {query_id}),
+           range(1, {n_cells + 1}) t(i)
+      ORDER BY ss[t.i] DESC, t.i ASC LIMIT {nprobe}
+    )
+    SELECT c.vec_id AS vec_id,
+           round(list_dot_product(c.v, qv.v)
+                 / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qv.v, qv.v))), 3) AS sim
+    FROM cellt c, (SELECT v FROM cellt WHERE vec_id = {query_id}) qv
+    WHERE c.cell IN (SELECT cell FROM qcells) AND c.vec_id != {query_id}
+    ORDER BY sim DESC, vec_id LIMIT {k}
+    """
+
+
 def ann_topk(
     emb_df: DataFrame,
     query_id: int,

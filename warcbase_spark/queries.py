@@ -995,6 +995,50 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_winnow",
+    """
+    WITH n AS MATERIALIZED (
+      SELECT doc_id AS doc, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+      FROM documents
+    ),
+    g AS MATERIALIZED (
+      SELECT doc, i AS pos,
+             substr(md5(substr(t, CAST(i AS INT), 8)), 1, 8) AS h,
+             length(t) - 7 AS m
+      FROM n, unnest(range(1, length(t) - 7 + 1)) AS u(i)
+      WHERE length(t) >= 8
+    ),
+    w AS (
+      SELECT doc, pos, m,
+             min(h) OVER (PARTITION BY doc ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      FROM g
+    ),
+    fp AS MATERIALIZED (SELECT DISTINCT doc, fp FROM w WHERE pos <= greatest(m - 7, 1)),
+    hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 100),
+    rare AS (SELECT f.* FROM fp f WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fp = f.fp)),
+    p AS (
+      SELECT a.doc AS a, b.doc AS b, count(*) AS shared
+      FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT a, b, CAST(shared AS BIGINT) AS shared FROM p WHERE shared >= 3
+    """,
+)
+def dedup_winnow(spark, sf_dir):
+    """Rolling-hash document fingerprinting via winnowing (the MOSS
+    algorithm, Schleimer et al. SIGMOD 2003): char-8-gram md5 hashes,
+    window-8 minima, distinct per doc; near-dup pairs = docs sharing ≥ 3
+    fingerprints through the df-capped inverted index. Completes the dedup
+    family's fingerprinting axis (exact md5 / SimHash / MinHash-LSH /
+    winnowing)."""
+    from warcbase_spark.operators.dedup import winnow_fingerprints, winnow_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_pairs(winnow_fingerprints(d), max_df=100, min_shared=3)
+
+
+@query(
     "dedup_simhash",
     f"""
     WITH sims AS (
@@ -1101,6 +1145,24 @@ def ann_lsh_topk(spark, sf_dir):
     return ann_topk(
         _t(spark, sf_dir, "embeddings"),
         query_id=0, k=10, n_bits=_ANN_BITS, dim=_ANN_DIM, seeds=_ANN_SEEDS,
+    )
+
+
+from warcbase_spark.operators.similarity import ivf_oracle_sql as _ivf_sql  # noqa: E402
+
+
+@query("ann_ivf_topk", _ivf_sql(n_cells=16, nprobe=2, k=10, query_id=0, dim=_ANN_DIM, seed=13))
+def ann_ivf_topk(spark, sf_dir):
+    """ANN scale path #2: IVF — seeded integer coarse quantizer (argmax
+    inner-product cell), search only the query's nprobe=2 best cells of 16.
+    Complements the hyperplane-LSH path: cells are the table's partition
+    key at cluster scale, so the candidate filter is literal partition
+    pruning (`cell IN (...)`) instead of a hash-bucket join."""
+    from warcbase_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_id=0, k=10, n_cells=16, nprobe=2, dim=_ANN_DIM, seed=13,
     )
 
 
