@@ -172,8 +172,17 @@ def main() -> None:
         "Saturation above ~8 threads is shared-memory-bandwidth bound (single-socket",
         "sandbox); see BASELINE.md §3 notes.",
     ]
-    with open(f"{root}/BENCH.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # preserve hand-written sections (accepted-run narratives, stress-run
+    # records) below the keep marker across regenerations
+    keep = ""
+    bench_path = f"{root}/BENCH.md"
+    if os.path.exists(bench_path):
+        prev = open(bench_path).read()
+        marker = "<!-- keep-below -->"
+        if marker in prev:
+            keep = "\n" + marker + prev.split(marker, 1)[1]
+    with open(bench_path, "w") as f:
+        f.write("\n".join(lines) + "\n" + keep)
     print(json.dumps({
         "efficiency": eff,
         "hw_ceiling": ceiling,
