@@ -14,7 +14,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SHOW = [
     "tpch_q1", "tpch_q3_top10", "tpch_q6", "domain_links_monthly",
     "frontier_schedule_r0", "dedup_minhash_lsh", "ann_lsh_topk",
-    "site_links_rangejoin", "multimodal_decode",
+    "site_links_rangejoin", "multimodal_decode", "image_dims_real",
+    "dedup_winnow", "ann_ivf_topk", "dedup_simhash",
 ]
 
 

@@ -56,10 +56,26 @@ def minhash_chunk(i: int, col: str = "sh") -> F.Column:
 def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
     """Per-doc minhash signature: sig_i = min over shingles of
     minhash_chunk(i). Lexicographic min over hex strings = permutation
-    min-hash; all aggregates partial-combine map-side."""
+    min-hash; all aggregates partial-combine map-side.
+
+    The two salted digests are PROJECTED once per shingle row before the
+    aggregate; each min() then reads a cheap substring of the digest
+    attribute. Inlining minhash_chunk(i) into the aggregates re-evaluates
+    md5 once per aggregate expression (Catalyst doesn't CSE across
+    aggregate buffers) — 8 digests/row instead of 2 for the same result."""
     assert n_hashes <= 8
-    aggs = [F.min(minhash_chunk(i)).alias(f"sig{i}") for i in range(n_hashes)]
-    return sh.groupBy("doc").agg(*aggs)
+    digested = sh.select(
+        "doc",
+        F.md5(F.concat(F.lit("a:"), F.col("sh"))).alias("_da"),
+        F.md5(F.concat(F.lit("b:"), F.col("sh"))).alias("_db"),
+    )
+    aggs = [
+        F.min(
+            F.substring(F.col("_da" if i < 4 else "_db"), (i % 4) * 8 + 1, 8)
+        ).alias(f"sig{i}")
+        for i in range(n_hashes)
+    ]
+    return digested.groupBy("doc").agg(*aggs)
 
 
 def lsh_candidate_pairs(
