@@ -169,7 +169,10 @@ def test_broadcast_gate_crawl_parity(spark, corpus_dir, crawl):
     whole crawl must be bit-identical to the broadcast-path crawl."""
     state = "/tmp/warcbase_spark_testfix/crawlstate_nobc"
     shutil.rmtree(state, ignore_errors=True)
-    fc = FrontierCrawl(spark, corpus_dir, state, max_rounds=50, broadcast_row_limit=0)
+    fc = FrontierCrawl(
+        spark, corpus_dir, state, max_rounds=50,
+        broadcast_row_limit=0, winner_broadcast_limit=0,
+    )
     fc.run()
     got = sorted((r["round"], r["seq"], r["url_key"]) for r in fc.schedule().collect())
     ref = sorted((r["round"], r["seq"], r["url_key"]) for r in crawl.schedule().collect())

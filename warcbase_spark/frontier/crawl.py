@@ -93,6 +93,7 @@ class FrontierCrawl:
         bloom_mode: str = "jvm",
         compact_every: int = 8,
         broadcast_row_limit: int = 2_000_000,
+        winner_broadcast_limit: int | None = None,
     ) -> None:
         self.spark = spark
         self.corpus_dir = corpus_dir
@@ -103,10 +104,22 @@ class FrontierCrawl:
         self.bloom_fpp = bloom_fpp
         self.bloom_shards = bloom_shards
         self.compact_every = compact_every
-        # winner/fetch sets are broadcast only below this row count; above
-        # it (10^10-frontier rounds can schedule millions of URLs) the joins
-        # degrade to shuffle joins on url_key instead of OOMing the driver
+        # fetch-side scheduled∩docs semi-join broadcast gate: an OOM guard
+        # (10^10-frontier rounds can schedule millions of URLs); broadcast
+        # stays right up to this limit because it spares the LARGE docs
+        # table a shuffle
         self.broadcast_row_limit = broadcast_row_limit
+        # scheduler winner-join gate: a measured perf crossover (see
+        # scheduler.DEFAULT_BROADCAST_ROW_LIMIT) — the winner broadcast
+        # build is driver-serial, so past ~100k winners the shuffle join is
+        # both faster and the one that scales N→4N
+        from warcbase_spark.operators.scheduler import DEFAULT_BROADCAST_ROW_LIMIT
+
+        self.winner_broadcast_limit = (
+            DEFAULT_BROADCAST_ROW_LIMIT
+            if winner_broadcast_limit is None
+            else winner_broadcast_limit
+        )
         self.bloom_mode = bloom_mode  # "jvm" (bloom_filter_agg/might_contain,
         # zero Python in the probe), "sharded" (numpy ShardedBloom, collected
         # + broadcast), or "cogrouped" (the 10^10-key path: the shard-bitmap
@@ -283,7 +296,7 @@ class FrontierCrawl:
             schedule_round_combined(
                 frontier, self.politeness, self.salt_k,
                 cache_registry=to_unpersist,
-                broadcast_row_limit=self.broadcast_row_limit,
+                broadcast_row_limit=self.winner_broadcast_limit,
             )
             .observe(
                 obs_round,

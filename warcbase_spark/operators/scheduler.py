@@ -111,7 +111,15 @@ def with_budgets(candidates: DataFrame, politeness: DataFrame) -> DataFrame:
     )
 
 
-DEFAULT_BROADCAST_ROW_LIMIT = 2_000_000
+# Winner-join broadcast ceiling — a measured PERF crossover, not just an
+# OOM guard. A/B on this box (schedule_round_combined end-to-end, AQE off,
+# best-of-2): 206k winners/4M candidates → shuffle wins at 4 cores (7.2s vs
+# 11.2s) and scales 0.79 vs 0.35 N→4N (the broadcast build is
+# driver-SERIAL — a pure Amdahl term); 508k/1M @32 cores → tie (4.1s vs
+# 4.2s); 827k/16M @32 cores → shuffle 3× (6.5s vs 20.0s). Broadcast only
+# wins when the winner set is small enough that skipping the candidate
+# shuffle beats the serial broadcast build — below ~100k rows.
+DEFAULT_BROADCAST_ROW_LIMIT = 100_000
 
 
 def schedule_round_combined(
