@@ -118,3 +118,91 @@ def test_observation_null_safe_on_empty_candidates(spark):
         fresh, _ = dedup_against_seen(spark, empty, seen, bloom, observation=obs)
         assert fresh.count() == 0
         assert int(obs.get["bloom_hits"] or 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter (north rule's named Bloom alternative)
+# ---------------------------------------------------------------------------
+
+def test_cuckoo_no_false_negatives_and_low_fpp(spark):
+    from warcbase_spark.operators.seen import CuckooParams, build_cuckoo, probe_cuckoo
+
+    n = 5000
+    present = spark.range(n).select(F.concat(F.lit("org.example/k/"), "id").alias("url_key"))
+    absent = spark.range(n, 2 * n).select(F.concat(F.lit("org.example/k/"), "id").alias("url_key"))
+    cuckoo = build_cuckoo(present, CuckooParams.size(n, n_shards=8))
+
+    probed_in = probe_cuckoo(spark, present, cuckoo)
+    assert probed_in.filter(~F.col("maybe_seen")).count() == 0  # zero false negatives
+
+    fp = probe_cuckoo(spark, absent, cuckoo).filter(F.col("maybe_seen")).count()
+    # 16-bit fingerprints, 2×4 slots → theoretical ~1.2e-4 plus rare
+    # saturation; 1% is a very generous bound
+    assert fp / n < 0.01, fp
+
+
+def test_cuckoo_delete_unsees(spark):
+    """The capability Bloom lacks: deleting a key makes it probe-negative
+    again (recrawl-after-TTL semantics), without disturbing other keys."""
+    import numpy as np
+
+    from warcbase_spark.operators.seen import (
+        CuckooParams, ShardedCuckoo, build_cuckoo, with_bloom_hashes,
+    )
+
+    n = 2000
+    keys = spark.range(n).select(F.concat(F.lit("com.test/d/"), "id").alias("url_key"))
+    cuckoo = build_cuckoo(keys, CuckooParams.size(n, n_shards=4))
+
+    hashed = with_bloom_hashes(keys).select(
+        F.pmod(F.col("h1"), F.lit(1 << 62)).alias("h1"),
+        F.pmod(F.col("h2"), F.lit(1 << 62)).alias("h2"),
+    ).toPandas()
+    h1 = hashed["h1"].to_numpy(np.int64)
+    h2 = hashed["h2"].to_numpy(np.int64)
+
+    # delete the first 100 keys
+    ok = cuckoo.delete_vec(h1[:100], h2[:100])
+    assert ok.all()  # load 0.7 → no saturated buckets in this corpus
+    after = cuckoo.contains_vec(h1, h2)
+    assert not after[:100].any()   # un-seen
+    assert after[100:].all()       # everyone else still present
+
+
+def test_cuckoo_dedup_exact_semantics(spark):
+    """Like the Bloom modes, the cuckoo filter is a PREFILTER: the
+    dedup result must equal the plain anti-join exactly."""
+    from warcbase_spark.operators.seen import CuckooParams, build_cuckoo
+
+    cand = spark.range(1000).select(F.concat(F.lit("com.test/c/"), "id").alias("url_key"))
+    seen = spark.range(0, 1000, 3).select(
+        F.concat(F.lit("com.test/c/"), "id").alias("url_key"),
+        F.xxhash64(F.concat(F.lit("com.test/c/"), "id")).alias("url_hash"),
+        F.lit(0).alias("first_round"),
+    )
+    cuckoo = build_cuckoo(seen, CuckooParams.size(400, n_shards=8))
+    fresh, _ = dedup_against_seen(spark, cand, seen, cuckoo)
+    expected = cand.join(seen.select("url_key"), "url_key", "left_anti")
+    assert sorted(r["url_key"] for r in fresh.collect()) == sorted(
+        r["url_key"] for r in expected.collect()
+    )
+
+
+def test_cuckoo_saturation_stays_safe():
+    """Overfilled filter: items that fit neither bucket saturate it —
+    membership stays 'maybe' (never a false negative), and deletes in
+    saturated buckets are refused."""
+    import numpy as np
+
+    from warcbase_spark.operators.seen import CuckooParams, ShardedCuckoo
+
+    rng = np.random.RandomState(3)
+    n = 4000
+    h1 = rng.randint(0, 1 << 60, n).astype(np.int64)
+    h2 = rng.randint(0, 1 << 60, n).astype(np.int64)
+    # tiny table: 1 shard × 64 buckets × 4 slots = 256 capacity for 4000 keys
+    p = CuckooParams(n_shards=1, buckets_per_shard=64)
+    c = ShardedCuckoo.build(h1, h2, p)
+    assert c.contains_vec(h1, h2).all()  # saturation → still all positive
+    sat = c.shards[0][1]
+    assert sat.any()

@@ -71,7 +71,7 @@ def test_resume_exactness(spark, corpus_dir, crawl, sim):
     assert got_seen == sim.seen
 
 
-@pytest.mark.parametrize("mode", ["sharded", "cogrouped"])
+@pytest.mark.parametrize("mode", ["sharded", "cogrouped", "cuckoo"])
 def test_bloom_mode_parity(spark, corpus_dir, crawl, mode):
     """Every bloom mode is only a PREFILTER — the exact anti-join fixes any
     false positives — so the full crawl must be bit-identical across modes.

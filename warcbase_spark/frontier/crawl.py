@@ -42,10 +42,12 @@ from warcbase_spark.operators.scheduler import schedule_round_combined
 from warcbase_spark.operators.seen import (
     BloomParams,
     CogroupedBloom,
+    CuckooParams,
     ShardedBloom,
     build_bloom,
     build_bloom_jvm,
     build_bloom_shards,
+    build_cuckoo,
     dedup_against_seen,
 )
 
@@ -122,9 +124,11 @@ class FrontierCrawl:
         )
         self.bloom_mode = bloom_mode  # "jvm" (bloom_filter_agg/might_contain,
         # zero Python in the probe), "sharded" (numpy ShardedBloom, collected
-        # + broadcast), or "cogrouped" (the 10^10-key path: the shard-bitmap
+        # + broadcast), "cogrouped" (the 10^10-key path: the shard-bitmap
         # table never transits the driver — candidates are routed to their
-        # shard's bitmap by hash and probed cogrouped)
+        # shard's bitmap by hash and probed cogrouped), or "cuckoo"
+        # (deletion-capable ShardedCuckoo, the north rule's named
+        # alternative; broadcast probe)
         self._bloom: ShardedBloom | None = None
         os.makedirs(state_dir, exist_ok=True)
 
@@ -424,6 +428,12 @@ class FrontierCrawl:
                 max(n_seen * 2, 4096), self.bloom_fpp, self.bloom_shards
             )
             bloom = CogroupedBloom(params, build_bloom_shards(seen, params))
+        elif self.bloom_mode == "cuckoo":
+            # the north rule's named alternative: deletion-capable filter
+            # (recrawl-after-TTL un-sees URLs); stateless per-round build,
+            # same sizing source as the jvm mode
+            n_seen = _n_seen_pre() + m.scheduled
+            bloom = build_cuckoo(seen, CuckooParams.size(max(n_seen * 2, 4096), self.bloom_shards))
         else:
             if self._bloom is None:
                 self._bloom = self._rebuild_bloom(rnd - 1, expected_extra=m.scheduled)
@@ -501,7 +511,7 @@ class FrontierCrawl:
             self.bootstrap()
             manifest = self.load_manifest()
         start = manifest["last_committed_round"] + 1
-        if start > 0 and self.use_bloom and self.bloom_mode not in ("jvm", "cogrouped"):
+        if start > 0 and self.use_bloom and self.bloom_mode not in ("jvm", "cogrouped", "cuckoo"):
             self._bloom = self._rebuild_bloom(start - 1)
         out: list[RoundMetrics] = []
         rnd = start

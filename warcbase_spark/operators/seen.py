@@ -213,6 +213,177 @@ def probe_bloom(
 
 
 # ---------------------------------------------------------------------------
+# Cuckoo filter (the north rule's named alternative to Bloom).
+#
+# Fan et al., "Cuckoo Filter: Practically Better Than Bloom" (CoNEXT 2014):
+# b-slot buckets of f-bit fingerprints, two candidate buckets per item
+# (i2 = i1 XOR hash(fp)), supporting DELETION — the operation Bloom can't do
+# (a crawl that un-sees URLs, e.g. recrawl-after-TTL, needs it).
+#
+# Engineering variant: displacement ("kicking") is an inherently sequential
+# pointer chase, so the build here is fully VECTORIZED 2-choice placement
+# with a bucket-saturation fallback — items that fit neither bucket set a
+# saturation bit on their secondary bucket, and lookups in a saturated
+# bucket always answer "maybe" — so false negatives remain impossible (the
+# exact anti-join verifies positives, same contract as the Bloom modes).
+# At the sized load factor (0.7) saturation is rare, so fpp stays near the
+# theoretical 2b/2^f ≈ 1.2e-4 for b=4, f=16.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CuckooParams:
+    n_shards: int
+    buckets_per_shard: int  # power of two (i2 = i1 XOR h(fp) needs it)
+    slots: int = 4
+    fp_bits: int = 16
+
+    @classmethod
+    def size(cls, n_expected: int, n_shards: int = 32, load: float = 0.7) -> "CuckooParams":
+        n_shards = 1 << max(0, (n_shards - 1).bit_length())
+        per_shard = max(1, n_expected // n_shards)
+        m = 1 << max(3, (int(per_shard / (4 * load)) - 1).bit_length() + 1)
+        return cls(n_shards=n_shards, buckets_per_shard=m)
+
+
+def _cuckoo_parts(h1: np.ndarray, h2: np.ndarray, p: CuckooParams):
+    """(shard, fp, i1, i2) from the two 64-bit hashes. fp is nonzero
+    (0 marks an empty slot); i2 is derivable from (i1, fp) alone, which is
+    what makes deletion and the saturation fallback work."""
+    shard = np.mod(h1, p.n_shards).astype(np.int64)
+    fp = (np.mod(h2, (1 << p.fp_bits) - 1) + 1).astype(np.uint16)
+    m = p.buckets_per_shard
+    i1 = np.mod(h1 // p.n_shards, m).astype(np.int64)
+    i2 = np.bitwise_xor(i1, np.mod(fp.astype(np.int64) * 0x5BD1E995, m))
+    return shard, fp, i1, i2
+
+
+def _place(table: np.ndarray, sat: np.ndarray, fp: np.ndarray, idx: np.ndarray,
+           spill_mask: np.ndarray) -> np.ndarray:
+    """Vectorized bucket fill: for items (fp, idx) place into free slots of
+    their bucket in one pass (lexsort → per-bucket rank → fancy index).
+    Returns the mask of items that did NOT fit. ``spill_mask`` marks items
+    already known to be in their LAST candidate bucket — those saturate."""
+    order = np.lexsort((fp, idx))
+    sidx, sfp = idx[order], fp[order]
+    # rank of each item within its bucket group
+    first = np.ones(len(sidx), dtype=bool)
+    first[1:] = sidx[1:] != sidx[:-1]
+    group_start = np.maximum.accumulate(np.where(first, np.arange(len(sidx)), 0))
+    rank = np.arange(len(sidx)) - group_start
+    occ = (table[sidx] != 0).sum(axis=1)  # pre-pass occupancy
+    slot = occ + rank
+    fits = slot < table.shape[1]
+    table[sidx[fits], slot[fits]] = sfp[fits]
+    overflow = np.zeros(len(fp), dtype=bool)
+    overflow[order[~fits]] = True
+    if spill_mask is not None:
+        sat[idx[overflow & spill_mask]] = True
+    return overflow
+
+
+@dataclass
+class ShardedCuckoo:
+    params: CuckooParams
+    # shard id → (bucket table [m, slots] uint16, saturation bits [m] bool)
+    shards: dict[int, tuple[np.ndarray, np.ndarray]]
+
+    @classmethod
+    def build(cls, h1: np.ndarray, h2: np.ndarray, params: CuckooParams) -> "ShardedCuckoo":
+        p = params
+        shard, fp, i1, i2 = _cuckoo_parts(h1, h2, p)
+        shards: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        for sid in np.unique(shard):
+            mask = shard == sid
+            table = np.zeros((p.buckets_per_shard, p.slots), dtype=np.uint16)
+            sat = np.zeros(p.buckets_per_shard, dtype=bool)
+            f, a, b = fp[mask], i1[mask], i2[mask]
+            over = _place(table, sat, f, a, spill_mask=None)   # primary pass
+            if over.any():                                      # secondary pass
+                _place(table, sat, f[over], b[over],
+                       spill_mask=np.ones(int(over.sum()), dtype=bool))
+            shards[int(sid)] = (table, sat)
+        return cls(p, shards)
+
+    def contains_vec(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        p = self.params
+        shard, fp, i1, i2 = _cuckoo_parts(h1, h2, p)
+        out = np.zeros(len(h1), dtype=bool)
+        for sid in np.unique(shard):
+            entry = self.shards.get(int(sid))
+            mask = shard == sid
+            if entry is None:
+                continue
+            table, sat = entry
+            f, a, b = fp[mask], i1[mask], i2[mask]
+            hit = (
+                (table[a] == f[:, None]).any(axis=1)
+                | (table[b] == f[:, None]).any(axis=1)
+                | sat[a] | sat[b]
+            )
+            out[mask] = hit
+        return out
+
+    def delete_vec(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Remove ONE stored copy of each item's fingerprint (the cuckoo
+        capability Bloom lacks). Returns per-item success. Deletes are exact
+        only while the touched buckets never saturated — a saturated bucket
+        may have dropped the fingerprint at build time, so removal there is
+        refused (stays conservatively 'maybe seen')."""
+        p = self.params
+        shard, fp, i1, i2 = _cuckoo_parts(h1, h2, p)
+        ok = np.zeros(len(h1), dtype=bool)
+        for j in range(len(h1)):
+            entry = self.shards.get(int(shard[j]))
+            if entry is None:
+                continue
+            table, sat = entry
+            if sat[i1[j]] or sat[i2[j]]:
+                continue
+            for idx in (i1[j], i2[j]):
+                slots = np.nonzero(table[idx] == fp[j])[0]
+                if len(slots):
+                    table[idx, slots[0]] = 0
+                    ok[j] = True
+                    break
+        return ok
+
+
+def build_cuckoo(df: DataFrame, params: CuckooParams, key_col: str = "url_key") -> ShardedCuckoo:
+    """Collect-and-build form (broadcast regime): the two JVM hashes are
+    computed distributed (same columns as the Bloom build); only the
+    (h1, h2) pairs transit the driver. A fully distributed per-shard
+    applyInPandas build (mirroring build_bloom_shards) is the 10^10-key
+    form; at that scale prefer the cogrouped Bloom — cuckoo's win is
+    deletion, not build locality."""
+    hashed = with_bloom_hashes(df.select(key_col), key_col).select(
+        F.pmod(F.col("h1"), F.lit(1 << 62)).alias("h1"),
+        F.pmod(F.col("h2"), F.lit(1 << 62)).alias("h2"),
+    )
+    pdf = hashed.toPandas()
+    return ShardedCuckoo.build(
+        pdf["h1"].to_numpy(np.int64), pdf["h2"].to_numpy(np.int64), params
+    )
+
+
+def probe_cuckoo(
+    spark: SparkSession, df: DataFrame, cuckoo: ShardedCuckoo, key_col: str = "url_key",
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Arrow-vectorized membership probe, same shape as ``probe_bloom``."""
+    bc = spark.sparkContext.broadcast(cuckoo)
+
+    @F.pandas_udf("boolean")
+    def _probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        c = bc.value
+        return pd.Series(c.contains_vec(h1.to_numpy(np.int64), h2.to_numpy(np.int64)))
+
+    hashed = with_bloom_hashes(df, key_col)
+    h1 = F.pmod(F.col("h1"), F.lit(1 << 62))
+    h2 = F.pmod(F.col("h2"), F.lit(1 << 62))
+    return hashed.withColumn(out_col, _probe(h1, h2)).drop("h1", "h2")
+
+
+# ---------------------------------------------------------------------------
 # JVM bloom path (default for the broadcast regime).
 #
 # Spark's bloom_filter_agg is a declarative aggregate: every task builds a
@@ -266,7 +437,7 @@ def dedup_against_seen(
     spark: SparkSession,
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: "ShardedBloom | CogroupedBloom | bytes | None",
+    bloom: "ShardedBloom | CogroupedBloom | ShardedCuckoo | bytes | None",
     key_col: str = "url_key",
     observation=None,
     cache_registry: "list[DataFrame] | None" = None,
@@ -321,6 +492,8 @@ def dedup_against_seen(
             )
     elif isinstance(bloom, CogroupedBloom):
         probed = probe_bloom_cogrouped(candidates, bloom.shards, bloom.params, key_col)
+    elif isinstance(bloom, ShardedCuckoo):
+        probed = probe_cuckoo(spark, candidates, bloom, key_col)
     else:
         probed = probe_bloom(spark, candidates, bloom, key_col)
     if observation is not None:
