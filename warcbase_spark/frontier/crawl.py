@@ -204,9 +204,15 @@ class FrontierCrawl:
 
     def _seen(self, upto_round: int) -> DataFrame:
         """Seen set = compacted base (≤ seen_base_round) + per-round deltas
-        after it. Append-only Iceberg-style deltas with periodic compaction
-        (``compact_every``) so a 10k-round crawl reads O(compact_every)
-        files, not 10k delta dirs."""
+        after it, minus recrawl tombstones. Append-only Iceberg-style deltas
+        with periodic compaction (``compact_every``) so a 10k-round crawl
+        reads O(compact_every) files, not 10k delta dirs.
+
+        Tombstones (written by ``unsee``) carry the round they were issued
+        at; a seen row dies iff its ``first_round`` ≤ the key's latest
+        tombstone round — so a key re-discovered AFTER its tombstone is
+        seen again, and re-applying old tombstones over a compacted base is
+        idempotent."""
         m = self.load_manifest() or {}
         base_round = m.get("seen_base_round", -1)
         paths = []
@@ -222,7 +228,26 @@ class FrontierCrawl:
         ]
         if not paths:
             return self.spark.createDataFrame([], "url_key string, url_hash long, first_round int")
-        return self.spark.read.parquet(*paths)
+        seen = self.spark.read.parquet(*paths)
+        tomb_dirs = self._tombstone_dirs()
+        if tomb_dirs:
+            tomb = (
+                self.spark.read.parquet(*tomb_dirs)
+                .groupBy("url_key")
+                .agg(F.max("ts_round").alias("ts_round"))
+            )
+            seen = (
+                seen.join(tomb, "url_key", "left")
+                .filter(F.col("ts_round").isNull() | (F.col("first_round") > F.col("ts_round")))
+                .drop("ts_round")
+            )
+        return seen
+
+    def _tombstone_dirs(self) -> list[str]:
+        root = f"{self.state_dir}/tombstones"
+        if not os.path.isdir(root):
+            return []
+        return sorted(f"{root}/{d}" for d in os.listdir(root) if d.startswith("round="))
 
     def _maybe_compact_seen(self, rnd: int) -> int | None:
         """Rewrite the full seen set (base + deltas ≤ rnd) into one sorted
@@ -542,6 +567,77 @@ class FrontierCrawl:
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(*self._round_paths("metrics"))
+
+    # ---------------- recrawl (the deletion story) ----------------
+
+    def unsee(self, urls: DataFrame, url_col: str = "url") -> int:
+        """Delete URLs from the seen set (recrawl-after-TTL — the HBase
+        layer's implicit delete, HBaseTableManager row deletes). Writes a
+        TOMBSTONE delta honored by ``_seen``: the key's seen rows with
+        ``first_round`` ≤ the tombstone round die; a later re-discovery
+        re-adds it. Idempotent (max-tombstone-round wins); the manifest's
+        seen_rows counter becomes an upper bound, which only oversizes the
+        Bloom/cuckoo build (correctness lives in the exact anti-join).
+        Returns the number of tombstoned keys."""
+        last = (self.load_manifest() or {}).get("last_committed_round", -1)
+        keys = (
+            canonicalize_candidates(urls, url_col)
+            .filter(F.col("url_key").isNotNull())
+            .select("url_key")
+            .distinct()
+            .withColumn("ts_round", F.lit(last))
+        )
+        out = f"{self.state_dir}/tombstones/round={last:05d}"
+        # append, not overwrite: two unsee() calls in the same round must
+        # both survive (duplicate keys are harmless — max ts_round wins)
+        keys.write.mode("append").parquet(out)
+        return self.spark.read.parquet(out).count()
+
+    def recrawl(self, urls: DataFrame, url_col: str = "url", priority: int = 0) -> None:
+        """Schedule URLs for a fresh fetch: tombstone their seen rows and
+        seed them into the next frontier round (merging with any pending
+        frontier). ``run()`` then picks them up like newly discovered
+        URLs — they flow through politeness, dedup (now fresh), fetch and
+        extraction exactly once more."""
+        self.unsee(urls, url_col)
+        m = self.load_manifest() or {}
+        last = m.get("last_committed_round", -1)
+        nxt = last + 1
+        cand = (
+            canonicalize_candidates(urls, url_col)
+            .filter(F.col("url_key").isNotNull())
+            .groupBy("url_key")
+            .agg(
+                F.min(url_col).alias("url"),
+                F.first("host").alias("host"),
+                F.first("url_hash").alias("url_hash"),
+                F.lit(priority).alias("priority"),
+                F.lit(nxt).alias("discovered_round"),
+            )
+        )
+        pending_path = self._p("frontier", nxt)
+        if os.path.exists(pending_path):
+            pending = self.spark.read.parquet(pending_path)
+            cand = (
+                pending.unionByName(cand)
+                .groupBy("url_key")
+                .agg(
+                    F.min("url").alias("url"),
+                    F.first("host").alias("host"),
+                    F.first("url_hash").alias("url_hash"),
+                    F.max("priority").alias("priority"),
+                    F.min("discovered_round").alias("discovered_round"),
+                )
+            )
+        tmp = pending_path + ".recrawl.tmp"
+        cand.write.mode("overwrite").parquet(tmp)
+        merged = self.spark.read.parquet(tmp)
+        n = merged.count()
+        merged.write.mode("overwrite").parquet(pending_path)
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
+        self._commit(last, n, scheduled_delta=0)
 
 
 def _merge_blooms(a: ShardedBloom, b: ShardedBloom) -> ShardedBloom:
