@@ -63,3 +63,58 @@ def test_recrawl_fetches_again_exactly_once(spark, crawl):
     # still in the (tombstone-filtered) seen set → no second BFS wave
     m = crawl.metrics().filter(F.col("round") > last_before)
     assert m.count() == len(out)
+
+
+def test_unsee_returns_per_call_count(spark, crawl):
+    urls = [r["url"] for r in crawl.schedule().orderBy(F.desc("round"), "seq").limit(2).collect()]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    assert crawl.unsee(df) == 2
+    assert crawl.unsee(df) == 2  # per-CALL key count, not the dir total
+
+
+def test_recrawl_applies_robots(spark, corpus_dir, crawl):
+    """recrawl must honor robots like every other frontier entry path —
+    a disallowed URL is tombstoned but never re-seeded."""
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet").limit(1).collect()
+    if not robots:
+        pytest.skip("corpus has no robots rules")
+    host, prefix = robots[0]["host"], robots[0]["path_prefix"]
+    blocked = f"http://{host}{prefix}/recrawl-me.html"
+    last = crawl.load_manifest()["last_committed_round"]
+    crawl.recrawl(spark.createDataFrame([(blocked,)], "url string"))
+    nxt_dir = crawl._p("frontier", last + 1)
+    import os
+    if os.path.exists(nxt_dir):
+        keys = {r["url"] for r in spark.read.parquet(nxt_dir).collect()}
+        assert blocked not in keys
+
+
+def test_recrawl_on_fresh_state_bootstraps(spark, corpus_dir):
+    """recrawl() before any crawl must not swallow the corpus seeds: the
+    normal bootstrap runs first, then the recrawl URLs merge in."""
+    state = "/tmp/warcbase_spark_testfix/crawlstate_recrawl_fresh"
+    shutil.rmtree(state, ignore_errors=True)
+    fc = FrontierCrawl(spark, corpus_dir, state, max_rounds=50)
+    seeds = spark.read.parquet(f"{corpus_dir}/seeds.parquet")
+    fc.recrawl(seeds.limit(1))
+    # frontier round 0 must hold the FULL bootstrap seed set (merged with
+    # the recrawl URL), not just the recrawled one
+    f0 = spark.read.parquet(fc._p("frontier", 0))
+    assert f0.count() > 1
+    out = fc.run()
+    assert len(out) >= 1
+
+
+def test_heal_frontier_finishes_interrupted_swap(spark, corpus_dir):
+    import os
+
+    state = "/tmp/warcbase_spark_testfix/crawlstate_heal"
+    shutil.rmtree(state, ignore_errors=True)
+    fc = FrontierCrawl(spark, corpus_dir, state, max_rounds=50)
+    fc.bootstrap()
+    path = fc._p("frontier", 0)
+    os.rename(path, path + ".new")  # simulate crash between rmtree and rename
+    assert not os.path.exists(path)
+    out = fc.run(max_rounds=1)  # run() heals, then crawls round 0
+    assert os.path.exists(path)
+    assert len(out) == 1

@@ -45,10 +45,13 @@ def test_simhash_deterministic_and_equal_for_dups(spark):
     from warcbase_spark.operators.dedup import simhash16_col
 
     d = _docs(spark, [("a", "spark bloom frontier"), ("b", "spark bloom frontier"),
-                      ("c", "other words entirely different")])
+                      ("c", "other words entirely different"), ("n", None)])
     rows = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash16_col(F.col("text")).alias("h")).collect()}
     assert rows["a"] == rows["b"]
     assert 0 <= rows["a"] < (1 << 16)
+    # NULL text → 0, matching the oracle's CASE...ELSE 0 per bit (the
+    # struct-accumulator rewrite would otherwise return NULL here)
+    assert rows["n"] == 0
     # rerun → identical (pure function of text)
     rows2 = {r["doc_id"]: r["h"] for r in d.select("doc_id", simhash16_col(F.col("text")).alias("h")).collect()}
     assert rows == rows2
@@ -171,6 +174,10 @@ def test_multimodal_decode_real_headers(spark):
         "bmp": (_bmp(31, 17), (31, 17)),
         "bmp_topdown": (_bmp(31, -17), (31, 17)),  # negative height = top-down
         "png_truncated": (_png(640, 480)[:14], (0, 0)),
+        # truncation INSIDE the dimension fields (17-23 bytes): must be
+        # (0,0), not a garbage partial width (code-review r3 finding)
+        "png_trunc18": (_png(640, 480)[:18], (0, 0)),
+        "png_trunc22": (_png(640, 480)[:22], (0, 0)),
         "png_bad_magic": (b"\x89PNX" + _png(9, 9)[4:], (0, 0)),
         "jpeg_no_sof": (b"\xff\xd8\xff\xe0\x00\x04\x00\x00", (0, 0)),
         "jpeg_truncated": (_jpeg(5, 5)[:8], (0, 0)),

@@ -236,6 +236,12 @@ class FrontierCrawl:
                 .groupBy("url_key")
                 .agg(F.max("ts_round").alias("ts_round"))
             )
+            # gate the hint on the on-disk byte size (free driver-side
+            # stat — no count job): typical TTL batches broadcast; a mass
+            # recrawl's tombstone set shuffle-joins instead of OOMing
+            # (AQE is off inside rounds, so no runtime fallback exists)
+            if self._dir_bytes(tomb_dirs) < 64 << 20:
+                tomb = F.broadcast(tomb)
             seen = (
                 seen.join(tomb, "url_key", "left")
                 .filter(F.col("ts_round").isNull() | (F.col("first_round") > F.col("ts_round")))
@@ -243,11 +249,25 @@ class FrontierCrawl:
             )
         return seen
 
-    def _tombstone_dirs(self) -> list[str]:
+    def _tombstone_dirs(self, upto_round: int | None = None) -> list[str]:
         root = f"{self.state_dir}/tombstones"
         if not os.path.isdir(root):
             return []
-        return sorted(f"{root}/{d}" for d in os.listdir(root) if d.startswith("round="))
+        dirs = sorted(f"{root}/{d}" for d in os.listdir(root) if d.startswith("round="))
+        if upto_round is not None:
+            dirs = [d for d in dirs if int(d.rsplit("=", 1)[1]) <= upto_round]
+        return dirs
+
+    @staticmethod
+    def _dir_bytes(dirs: list[str]) -> int:
+        total = 0
+        for d in dirs:
+            for name in os.listdir(d):
+                try:
+                    total += os.path.getsize(os.path.join(d, name))
+                except OSError:
+                    pass
+        return total
 
     def _maybe_compact_seen(self, rnd: int) -> int | None:
         """Rewrite the full seen set (base + deltas ≤ rnd) into one sorted
@@ -517,6 +537,17 @@ class FrontierCrawl:
             scheduled_delta=m.scheduled,
             seen_rows_before=seen_rows_before,
         )
+        if new_base is not None:
+            # tombstones ≤ the committed base round are fully reflected in
+            # the base snapshot (and idempotent against any later delta:
+            # first_round > ts_round keeps re-discovered keys) — prune them
+            # AFTER the manifest commit so a crash before it cannot lose
+            # deletes. Without pruning, every consumed tombstone dir is
+            # re-read/re-joined on every round forever.
+            import shutil as _shutil
+
+            for d in self._tombstone_dirs(upto_round=new_base):
+                _shutil.rmtree(d, ignore_errors=True)
         # unpersist exactly this round's intermediates (winner set, joined,
         # probe pass) — never clearCache(), which would drop caller-owned
         # caches in the shared session
@@ -541,6 +572,7 @@ class FrontierCrawl:
         out: list[RoundMetrics] = []
         rnd = start
         while rnd < max_rounds:
+            self._heal_frontier(rnd)  # finish an interrupted recrawl swap
             if not os.path.exists(self._p("frontier", rnd)):
                 break
             if self.load_manifest()["next_frontier_rows"] == 0:
@@ -586,34 +618,41 @@ class FrontierCrawl:
             .select("url_key")
             .distinct()
             .withColumn("ts_round", F.lit(last))
+            .cache()
         )
+        n = keys.count()  # THIS call's key count, not the dir's running total
         out = f"{self.state_dir}/tombstones/round={last:05d}"
         # append, not overwrite: two unsee() calls in the same round must
         # both survive (duplicate keys are harmless — max ts_round wins)
         keys.write.mode("append").parquet(out)
-        return self.spark.read.parquet(out).count()
+        keys.unpersist()
+        return n
 
     def recrawl(self, urls: DataFrame, url_col: str = "url", priority: int = 0) -> None:
         """Schedule URLs for a fresh fetch: tombstone their seen rows and
         seed them into the next frontier round (merging with any pending
         frontier). ``run()`` then picks them up like newly discovered
         URLs — they flow through politeness, dedup (now fresh), fetch and
-        extraction exactly once more."""
+        extraction exactly once more. Robots rules apply exactly as on
+        every other frontier entry path (bootstrap seeds, extracted
+        links); on a never-crawled state dir the normal bootstrap runs
+        first so the corpus seeds are not silently dropped."""
+        if self.load_manifest() is None:
+            self.bootstrap()
         self.unsee(urls, url_col)
         m = self.load_manifest() or {}
         last = m.get("last_committed_round", -1)
         nxt = last + 1
-        cand = (
-            canonicalize_candidates(urls, url_col)
-            .filter(F.col("url_key").isNotNull())
-            .groupBy("url_key")
-            .agg(
-                F.min(url_col).alias("url"),
-                F.first("host").alias("host"),
-                F.first("url_hash").alias("url_hash"),
-                F.lit(priority).alias("priority"),
-                F.lit(nxt).alias("discovered_round"),
-            )
+        cand = apply_robots(
+            canonicalize_candidates(urls, url_col).filter(F.col("url_key").isNotNull()),
+            self.robots,
+        )
+        cand = cand.groupBy("url_key").agg(
+            F.min(url_col).alias("url"),
+            F.first("host").alias("host"),
+            F.first("url_hash").alias("url_hash"),
+            F.lit(priority).alias("priority"),
+            F.lit(nxt).alias("discovered_round"),
         )
         pending_path = self._p("frontier", nxt)
         if os.path.exists(pending_path):
@@ -629,15 +668,36 @@ class FrontierCrawl:
                     F.min("discovered_round").alias("discovered_round"),
                 )
             )
-        tmp = pending_path + ".recrawl.tmp"
-        cand.write.mode("overwrite").parquet(tmp)
-        merged = self.spark.read.parquet(tmp)
-        n = merged.count()
-        merged.write.mode("overwrite").parquet(pending_path)
+        # checkpoint-protocol-preserving swap: the merged frontier is fully
+        # written to a sibling dir first, then swapped in with two metadata
+        # ops — overwriting in place would delete the committed frontier
+        # BEFORE the slow Spark write completes, so a crash mid-write
+        # leaves a partial/absent frontier the manifest still points at.
+        # The tiny rmtree→rename window is covered by _heal_frontier.
         import shutil as _shutil
 
-        _shutil.rmtree(tmp, ignore_errors=True)
-        self._commit(last, n, scheduled_delta=0)
+        new = pending_path + ".new"
+        _shutil.rmtree(new, ignore_errors=True)
+        cand.write.mode("overwrite").parquet(new)
+        n = self.spark.read.parquet(new).count()
+        if os.path.exists(pending_path):
+            _shutil.rmtree(pending_path)
+        os.rename(new, pending_path)
+        # legacy manifests: the correct pre-recrawl seen total is
+        # count(_seen(last)) — NOT _commit's default count(_seen(last-1)),
+        # which assumes the current round's delta arrives via
+        # scheduled_delta (recrawl adds none)
+        srb = m.get("seen_rows")
+        if srb is None:
+            srb = self._seen(last).count() if last >= 0 else 0
+        self._commit(last, n, scheduled_delta=0, seen_rows_before=srb)
+
+    def _heal_frontier(self, rnd: int) -> None:
+        """Finish an interrupted ``recrawl`` swap: frontier dir missing but
+        its fully-written ``.new`` sibling present → rename it in."""
+        path = self._p("frontier", rnd)
+        if not os.path.exists(path) and os.path.exists(path + ".new"):
+            os.rename(path + ".new", path)
 
 
 def _merge_blooms(a: ShardedBloom, b: ShardedBloom) -> ShardedBloom:

@@ -281,4 +281,7 @@ def simhash16_col(text) -> F.Column:
             out = out + F.when(acc[f"c{b}"] > 0, F.lit(1 << b)).otherwise(F.lit(0))
         return out
 
-    return F.aggregate(digests, zero, merge, finish)
+    # NULL text → NULL token array → the whole fold is NULL; the previous
+    # per-bit form returned 0 there (when(NULL > 0) takes the otherwise
+    # branch), and the DuckDB oracle's CASE...ELSE 0 agrees — keep 0.
+    return F.coalesce(F.aggregate(digests, zero, merge, finish), F.lit(0))

@@ -74,7 +74,7 @@ def parse_image_dims(buf: bytes) -> tuple[int, int]:
       top-down BMPs store it negative).
     """
     try:
-        if buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR":
+        if buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR" and len(buf) >= 24:
             return (
                 int.from_bytes(buf[16:20], "big"),
                 int.from_bytes(buf[20:24], "big"),
