@@ -149,6 +149,29 @@ LANG_TRIGRAM_ORDER: list[str] = [
     "pt", "it", "nl", "pl", "ru", "ja", "tr", "sv", "id", "vi",
 ]
 
+# Real-sentence golden vectors, one per profile language (no apostrophes —
+# they are embedded verbatim in oracle SQL literals). Shared by the unit
+# tests and the driver-checked `lang_id_golden15` query, so classifier
+# QUALITY on real text — not just engine-parity arithmetic — sits under
+# the correctness gate.
+LANG_GOLDEN_SENTENCES: dict[str, str] = {
+    "en": "the quick brown fox jumps over the lazy dog and runs to the edge of the woods",
+    "de": "der schnelle braune fuchs springt ueber den faulen hund und laeuft in den wald hinein",
+    "fr": "le renard brun rapide saute par dessus le chien paresseux et les grandes questions",
+    "es": "el rapido zorro marron salta sobre el perro perezoso y los campos que estan cerca",
+    "zh": "zhe shi yi ge hen hao de difang wo men zai zhe li mian you hen duo dong xi",
+    "pt": "o rapido cachorro correu para a casa e nao encontrou uma coisa boa com os amigos da cidade",
+    "it": "il cane veloce corre per la strada e non trova una cosa buona che gli piace della citta",
+    "nl": "de snelle hond rent door het bos en zij vinden een ding niet dat van hen is",
+    "pl": "szybki pies biegnie przez las i nie znajduje niczego dobrego w tym miejscu",
+    "ru": "быстрая собака бежит по лесу и не находит ничего хорошего при этом на станции",
+    "ja": "これはとても良いものです 犬は森を走っていることがあるために書いています",
+    "tr": "hizli kopek ormanda kosuyor ve orada bir sey bulamiyor ama kalanlar geliyor",
+    "sv": "den snabba hunden springer genom skogen och hittar inte det som den vill ha",
+    "id": "anjing cepat itu berlari melalui hutan dan tidak menemukan sesuatu yang baik di sana",
+    "vi": "con chó nhanh chạy qua rừng và không tìm thấy thứ gì tốt ở trong đó của người",
+}
+
 
 def trigram_lang_scores(text: Column) -> dict[str, Column]:
     """Per-language weighted trigram-occurrence scores, integer-only.

@@ -724,9 +724,10 @@ def lang_id_confusion(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("count"))
 
 
-def _trigram_oracle_sql() -> str:
-    """DuckDB twin of functions.text.detect_language_trigram, generated from
-    the SAME profile dict so the two scoring chains cannot drift."""
+def _trigram_scores_and_case() -> tuple[str, str]:
+    """Shared DuckDB score-expression and argmax-CASE text for the trigram
+    classifier, generated from the SAME profile dict the Spark Column chain
+    uses so the two scoring paths cannot drift."""
     from warcbase_spark.functions.text import LANG_TRIGRAM_ORDER, LANG_TRIGRAM_PROFILES
 
     def score(tris: list[str]) -> str:
@@ -746,6 +747,11 @@ def _trigram_oracle_sql() -> str:
         conds = " AND ".join(f"s_{lang} >= s_{o}" for o in LANG_TRIGRAM_ORDER[j + 1:])
         chain.append(f"WHEN {conds} THEN '{lang}'")
     case = "CASE " + " ".join(chain) + f" ELSE '{LANG_TRIGRAM_ORDER[-1]}' END"
+    return scores, case
+
+
+def _trigram_oracle_sql() -> str:
+    scores, case = _trigram_scores_and_case()
     return f"""
     WITH padded AS (
       SELECT lang, text,
@@ -759,6 +765,32 @@ def _trigram_oracle_sql() -> str:
     )
     SELECT lang, {case} AS detected, count(*) AS count
     FROM scored GROUP BY 1, 2
+    """
+
+
+def _trigram_golden_oracle_sql() -> str:
+    """The 15-language golden-sentence twin: same generated scoring/argmax
+    chain, but over the shared LANG_GOLDEN_SENTENCES literals instead of the
+    5-language fixture corpus — so classifier QUALITY on real text of all 15
+    profiles is driver-verified, not just engine-parity arithmetic."""
+    from warcbase_spark.functions.text import LANG_GOLDEN_SENTENCES
+
+    scores, case = _trigram_scores_and_case()
+    rows = ",\n        ".join(
+        f"('{lang}', '{s}')" for lang, s in LANG_GOLDEN_SENTENCES.items()
+    )
+    return f"""
+    WITH golden(truth, text) AS (
+      VALUES
+        {rows}
+    ),
+    padded AS (
+      SELECT truth, text,
+             ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' ' AS t
+      FROM golden
+    ),
+    scored AS (SELECT truth, text, {scores} FROM padded)
+    SELECT truth, {case} AS detected FROM scored
     """
 
 
@@ -776,6 +808,22 @@ def lang_id_trigram(spark, sf_dir):
         .groupBy("lang", "detected")
         .agg(F.count(F.lit(1)).alias("count"))
     )
+
+
+@query("lang_id_golden15", _trigram_golden_oracle_sql())
+def lang_id_golden15(spark, sf_dir):
+    """X11 breadth evidence: the 15-language trigram classifier over one
+    real sentence per profile language (LANG_GOLDEN_SENTENCES — native
+    scripts included; UTF-8 character arithmetic is engine-identical).
+    Returns (truth, detected) pairs; a correct classifier detects all 15."""
+    from warcbase_spark.functions.text import (
+        LANG_GOLDEN_SENTENCES,
+        detect_language_trigram,
+    )
+
+    rows = [(lang, s) for lang, s in LANG_GOLDEN_SENTENCES.items()]
+    d = spark.createDataFrame(rows, "truth string, text string")
+    return d.select("truth", detect_language_trigram(F.col("text")).alias("detected"))
 
 
 @query(
