@@ -432,3 +432,26 @@ def test_ivf_topk_matches_numpy(spark):
     want = sorted(((cos(i), i) for i in cands), key=lambda t: (-t[0], t[1]))[:5]
     got = ivf_topk(e, query_id=0, k=5, n_cells=4, nprobe=2, dim=8, seed=13).collect()
     assert [(r["vec_id"], r["sim"]) for r in got] == [(i, s) for s, i in want]
+
+
+def test_connected_components_labels_and_fixed_iters(spark):
+    from warcbase_spark.operators.components import (
+        component_sizes,
+        connected_components,
+    )
+
+    # two components: {1,2,3,4} (path), {10,11} — diameter 3 fits in 8 iters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(pairs, iters=8).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    sizes = {r["component"]: r["size"] for r in component_sizes(
+        connected_components(pairs, iters=8)).collect()}
+    assert sizes == {1: 4, 10: 2}
+
+    # fixed-iteration semantics: a 6-path with iters=1 propagates min one
+    # hop only — the documented (oracle-mirrored) behavior, NOT convergence
+    path = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "a long, b long")
+    one = {r["node"]: r["label"] for r in connected_components(path, iters=1).collect()}
+    assert one[3] == 2 and one[6] == 5 and one[1] == 1

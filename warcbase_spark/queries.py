@@ -961,8 +961,7 @@ WHERE i.inter >= {min_inter}
 """
 
 
-@query(
-    "dedup_minhash_lsh",
+_MINHASH_LSH_SQL = (
     "WITH "
     + _SHINGLES_SQL.strip().rstrip()
     + """,
@@ -991,8 +990,11 @@ pairs AS (
   FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v AND x.doc < y.doc
 ),
 """
-    + _JACCARD_TAIL_SQL.format(min_inter=3),
+    + _JACCARD_TAIL_SQL.format(min_inter=3)
 )
+
+
+@query("dedup_minhash_lsh", _MINHASH_LSH_SQL)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash (8 perms, md5-lex-min) -> banded LSH bucket join (hot-bucket
     drop guard, cap 200 — a boilerplate cluster can never make the bucket
@@ -1042,9 +1044,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return verified_jaccard(pairs, sh, min_inter=4)
 
 
-@query(
-    "dedup_winnow",
-    """
+# Winnowing pair-generation SQL prefix (shared by dedup_winnow and
+# dedup_components): char-8-gram md5 hashes, window-8 minima, df-capped
+# inverted-index pair join.
+_WINNOW_PAIRS_SQL = """
     WITH n AS MATERIALIZED (
       SELECT doc_id AS doc, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
       FROM documents
@@ -1065,12 +1068,52 @@ def dedup_ngram_jaccard(spark, sf_dir):
     fp AS MATERIALIZED (SELECT DISTINCT doc, fp FROM w WHERE pos <= greatest(m - 7, 1)),
     hot AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) > 100),
     rare AS (SELECT f.* FROM fp f WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.fp = f.fp)),
-    p AS (
+    p AS MATERIALIZED (
       SELECT a.doc AS a, b.doc AS b, count(*) AS shared
       FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc < b.doc
       GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )"""
+
+
+def _cc_oracle_sql(iters: int = 8) -> str:
+    """Unrolled min-label-propagation twin of operators.components over the
+    MinHash-LSH verified pair graph (the pagerank-oracle pattern: a fixed
+    iteration count both engines run verbatim, so results agree exactly
+    even on unconverged graphs). The verified-pairs query nests as a CTE."""
+    steps = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    m{k} AS MATERIALIZED (
+      SELECT e.dst AS node, min(l.label) AS nb
+      FROM e JOIN {prev} l ON e.src = l.node GROUP BY e.dst
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT l.node, least(l.label, coalesce(m.nb, l.label)) AS label
+      FROM {prev} l LEFT JOIN m{k} m ON m.node = l.node
+    )""")
+        prev = f"l{k}"
+    return (
+        f"""
+    WITH vp AS MATERIALIZED ({_MINHASH_LSH_SQL}),
+    e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM vp UNION ALL SELECT b AS src, a AS dst FROM vp
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),"""
+        + ",".join(steps)
+        + f"""
+    SELECT label AS component, CAST(count(*) AS BIGINT) AS size
+    FROM {prev} GROUP BY 1
+    """
     )
-    SELECT a, b, CAST(shared AS BIGINT) AS shared FROM p WHERE shared >= 3
+
+
+@query(
+    "dedup_winnow",
+    _WINNOW_PAIRS_SQL
+    + """
+    SELECT a, b, CAST(shared AS BIGINT) AS shared FROM p
     """,
 )
 def dedup_winnow(spark, sf_dir):
@@ -1084,6 +1127,33 @@ def dedup_winnow(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return winnow_pairs(winnow_fingerprints(d), max_df=100, min_shared=3)
+
+
+@query("dedup_components", _cc_oracle_sql(8))
+def dedup_components(spark, sf_dir):
+    """Union-find over near-dup pairs — the keep-one-per-component step
+    after pair generation: 8 fixed rounds of min-label propagation
+    (operators/components.py) over the MinHash-LSH VERIFIED pair graph,
+    reported as the (component, size) histogram (41 components, sizes up
+    to 4, at sf0.01 — a discriminative structure, unlike the near-complete
+    winnowing graph). The oracle unrolls the identical 8 steps so both
+    engines agree even where the graph is not yet converged."""
+    from warcbase_spark.operators.components import (
+        component_sizes,
+        connected_components,
+    )
+    from warcbase_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verified_jaccard,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = doc_shingles(d).cache()
+    cand = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, bucket_cap=200)
+    pairs = verified_jaccard(cand, sh, min_inter=3).select("a", "b")
+    return component_sizes(connected_components(pairs, iters=8))
 
 
 @query(
