@@ -111,6 +111,9 @@ def test_mime_sniff_magic_bytes(spark):
         ("ogg", b"OggS\x00\x02", "application/ogg"),
         ("flac", b"fLaC\x00\x00\x00\x22", "audio/x-flac"),
         ("mp4", b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        # ftyp box length exactly 0x00000100 is legal MP4 (many compatible
+        # brands) and shares ICO's 4-byte prefix — must be mp4, not x-icon
+        ("mp4_len100", b"\x00\x00\x01\x00ftypisom" + b"\x00" * 248, "video/mp4"),
         ("webm", b"\x1a\x45\xdf\xa3\x01\x00", "video/webm"),
         ("sevenz", b"7z\xbc\xaf\x27\x1c\x00\x04", "application/x-7z-compressed"),
         # invalid UTF-8, no magic match (BMP/WebP/MP3/truncated payloads are

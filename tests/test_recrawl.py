@@ -105,6 +105,38 @@ def test_recrawl_on_fresh_state_bootstraps(spark, corpus_dir):
     assert len(out) >= 1
 
 
+def test_run_recovers_stale_manifest_after_swap_crash(spark, corpus_dir):
+    """recrawl crash window #2 (ADVICE r3): frontier swapped in but the
+    process dies before _commit → next_frontier_rows is the stale 0 of the
+    finished crawl. run() must trust the directory, recount, refresh the
+    manifest, and actually execute the recrawl round."""
+    import json
+    import os
+
+    state = "/tmp/warcbase_spark_testfix/crawlstate_stale_manifest"
+    shutil.rmtree(state, ignore_errors=True)
+    fc = FrontierCrawl(spark, corpus_dir, state, max_rounds=50)
+    fc.run()  # finished crawl: manifest has next_frontier_rows == 0
+    m_done = fc.load_manifest()
+    assert m_done["next_frontier_rows"] == 0
+    last = m_done["last_committed_round"]
+
+    target = [r["url"] for r in fc.schedule().orderBy("round", "seq").limit(2).collect()]
+    fc.recrawl(spark.createDataFrame([(u,) for u in target], "url string"))
+    # simulate the crash: roll the manifest back to its pre-recrawl state
+    # (tombstones + swapped frontier dir survive; the commit never ran)
+    with open(fc._manifest_path, "w") as f:
+        json.dump(m_done, f)
+    assert os.path.exists(fc._p("frontier", last + 1))
+
+    out = fc.run()
+    assert len(out) >= 1  # the recrawl round ran despite the stale counter
+    m_after = fc.load_manifest()
+    assert m_after["last_committed_round"] > last
+    got = {r["url"] for r in fc.schedule().filter(F.col("round") > last).collect()}
+    assert set(target) <= got
+
+
 def test_heal_frontier_finishes_interrupted_swap(spark, corpus_dir):
     import os
 

@@ -152,11 +152,24 @@ def _jpeg(w: int, h: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0
 
 
-def _bmp(w: int, h: int) -> bytes:
+def _bmp(w: int, h: int, dib_size: int = 40) -> bytes:
+    # 14-byte file header, then the DIB header whose size field selects the
+    # layout (BITMAPINFOHEADER=40 default)
     return (
-        b"BM" + b"\x00" * 16
+        b"BM" + b"\x00" * 12
+        + dib_size.to_bytes(4, "little")
         + w.to_bytes(4, "little", signed=True)
         + h.to_bytes(4, "little", signed=True)
+    )
+
+
+def _bmp_core(w: int, h: int) -> bytes:
+    # legacy BITMAPCOREHEADER (DIB size 12): uint16 width/height at 18/20
+    return (
+        b"BM" + b"\x00" * 12
+        + (12).to_bytes(4, "little")
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
     )
 
 
@@ -173,6 +186,13 @@ def test_multimodal_decode_real_headers(spark):
         "jpeg": (_jpeg(1024, 768), (1024, 768)),
         "bmp": (_bmp(31, 17), (31, 17)),
         "bmp_topdown": (_bmp(31, -17), (31, 17)),  # negative height = top-down
+        "bmp_v4": (_bmp(640, 480, dib_size=108), (640, 480)),
+        "bmp_v5": (_bmp(640, 480, dib_size=124), (640, 480)),
+        # legacy BITMAPCOREHEADER: 16-bit fields — a 32-bit read at 18/22
+        # would return garbage (w | h<<16), the ADVICE r3 finding
+        "bmp_core": (_bmp_core(31, 17), (31, 17)),
+        # unknown DIB size → unparseable → the (0,0) contract, not garbage
+        "bmp_unknown_dib": (_bmp(31, 17, dib_size=7), (0, 0)),
         "png_truncated": (_png(640, 480)[:14], (0, 0)),
         # truncation INSIDE the dimension fields (17-23 bytes): must be
         # (0,0), not a garbage partial width (code-review r3 finding)
@@ -348,8 +368,77 @@ def test_ner_spacy_factory_gate(spark):
         [("d1", "Barack Obama visited Paris with Google")],
         "doc_id string, text string",
     )
-    out = extract_entities(d, classifier_factory=spacy_classifier_factory()).collect()
+    out = extract_entities(d, doc_classifier_factory=spacy_classifier_factory()).collect()
     assert {r["entity_type"] for r in out} <= {"PERSON", "ORGANIZATION", "LOCATION"}
+
+
+class _FakeEnt:
+    def __init__(self, label, start, end):
+        self.label_ = label
+        self.start_char = start
+        self.end_char = end
+
+
+def test_ner_spacy_pipes_once_per_batch(monkeypatch):
+    """The real-model path must run the pipeline at DOCUMENT granularity:
+    exactly one nlp.pipe() call per batch of texts (never per token/doc),
+    with entity char-spans mapped back to token classes. Mocked spaCy so
+    the contract is asserted without shipping a model."""
+    import sys
+    import types
+
+    from warcbase_spark.operators import ner
+
+    pipe_calls = []
+
+    class _FakeDoc:
+        def __init__(self, ents):
+            self.ents = ents
+
+    def _fake_pipe(texts):
+        pipe_calls.append(list(texts))
+        docs = []
+        for t in texts:
+            ents = []
+            i = t.find("barack obama")
+            if i >= 0:
+                ents.append(_FakeEnt("PERSON", i, i + len("barack obama")))
+            j = t.find("paris")
+            if j >= 0:
+                ents.append(_FakeEnt("GPE", j, j + len("paris")))
+            docs.append(_FakeDoc(ents))
+        return iter(docs)
+
+    fake_nlp = types.SimpleNamespace(pipe=_fake_pipe)
+    fake_spacy = types.SimpleNamespace(load=lambda model: fake_nlp)
+    monkeypatch.setitem(sys.modules, "spacy", fake_spacy)
+
+    classify_batch = ner.spacy_classifier_factory()()
+    texts = ["barack obama visited paris", "no entities here at all"]
+    classes = classify_batch(texts)
+
+    assert len(pipe_calls) == 1 and pipe_calls[0] == texts  # ONE pipe per batch
+    assert classes[0] == ["PERSON", "PERSON", "O", "LOCATION"]
+    assert classes[1] == ["O"] * 5
+    assert ner.merge_runs(texts[0].split(), classes[0]) == [
+        ("PERSON", "barack obama"),
+        ("LOCATION", "paris"),
+    ]
+
+
+def test_ner_span_to_token_mapping():
+    """spans_to_token_classes: overlap (even partial) marks the token;
+    unknown labels are dropped; repeated tokens resolve by char position."""
+    from warcbase_spark.operators.ner import spans_to_token_classes
+
+    text = "acme corp hired acme again"
+    # span covers only the SECOND "acme" (chars 16-20)
+    ents = [_FakeEnt("ORG", 16, 20), _FakeEnt("MONEY", 0, 4)]
+    got = spans_to_token_classes(text, ents, {"ORG": "ORGANIZATION"})
+    assert got == ["O", "O", "O", "ORGANIZATION", "O"]
+    # partial overlap: span ends mid-token
+    got2 = spans_to_token_classes("openai labs", [_FakeEnt("ORG", 0, 8)], {"ORG": "ORGANIZATION"})
+    assert got2 == ["ORGANIZATION", "ORGANIZATION"]
 
 
 def test_winnow_guarantee_and_pairs(spark):

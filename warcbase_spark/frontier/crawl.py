@@ -576,7 +576,21 @@ class FrontierCrawl:
             if not os.path.exists(self._p("frontier", rnd)):
                 break
             if self.load_manifest()["next_frontier_rows"] == 0:
-                break
+                # recrawl's swap→commit crash window: the swapped-in
+                # frontier dir exists but _commit never refreshed the
+                # manifest, so next_frontier_rows is the stale 0 of a
+                # finished crawl. Trust the directory, not the counter:
+                # recount once and refresh the manifest before deciding.
+                # (Counting only on the ==0 path keeps the hot loop free
+                # of an extra count() job per round.)
+                n = self.spark.read.parquet(self._p("frontier", rnd)).count()
+                if n == 0:
+                    break
+                m = self.load_manifest()
+                self._commit(
+                    m["last_committed_round"], n,
+                    scheduled_delta=0, seen_rows_before=m.get("seen_rows"),
+                )
             out.append(self.run_round(rnd))
             rnd += 1
         return out
@@ -636,7 +650,15 @@ class FrontierCrawl:
         extraction exactly once more. Robots rules apply exactly as on
         every other frontier entry path (bootstrap seeds, extracted
         links); on a never-crawled state dir the normal bootstrap runs
-        first so the corpus seeds are not silently dropped."""
+        first so the corpus seeds are not silently dropped.
+
+        Crash-recovery contract: tombstones are durably appended FIRST, so
+        a crash before the frontier swap leaves keys unseen but not yet
+        re-seeded — re-invoking ``recrawl`` with the same URLs repairs
+        this (``unsee`` is idempotent, max-tombstone-round wins). A crash
+        after the swap but before ``_commit`` leaves the manifest's
+        ``next_frontier_rows`` stale; ``run()`` detects that (frontier dir
+        present but counter 0), recounts, and refreshes the manifest."""
         if self.load_manifest() is None:
             self.bootstrap()
         self.unsee(urls, url_col)

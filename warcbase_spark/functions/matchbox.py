@@ -111,6 +111,9 @@ def detect_mime_magic(payload: Column) -> Column:
         .when(h.startswith("FFD8FF"), "image/jpeg")
         .when(h.startswith("47494638"), "image/gif")
         .when(h.startswith("424D"), "image/bmp")
+        # ftyp (MP4 family) before ICO: an MP4 whose leading box length is
+        # exactly 0x00000100 is legal and would otherwise hit the ICO prefix
+        .when(F.substring(h, 9, 8) == "66747970", "video/mp4")
         .when(h.startswith("00000100"), "image/x-icon")
         .when(h.startswith("49492A00") | h.startswith("4D4D002A"), "image/tiff")
         .when(h.startswith("52494646") & (riff_kind == "57454250"), "image/webp")
@@ -124,7 +127,6 @@ def detect_mime_magic(payload: Column) -> Column:
         .when(h.startswith("4F676753"), "application/ogg")
         .when(h.startswith("664C6143"), "audio/x-flac")
         .when(h.startswith("000001BA") | h.startswith("000001B3"), "video/mpeg")
-        .when(F.substring(h, 9, 8) == "66747970", "video/mp4")
         .when(h.startswith("1A45DFA3"), "video/webm")
         .when(txt.startswith("<!doctype html") | txt.startswith("<html"), "text/html")
         .otherwise("text/plain")

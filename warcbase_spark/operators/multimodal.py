@@ -70,8 +70,11 @@ def parse_image_dims(buf: bytes) -> tuple[int, int]:
       width/height are little-endian uint16 at offsets 6 and 8.
     - JPEG: 0xFFD8, then marker segments; the frame header (SOFn, n ∉
       {4,8,12}) carries height/width as big-endian uint16 at +5/+7.
-    - BMP: 'BM', BITMAPINFOHEADER width/height int32 LE at 18/22 (|height|:
-      top-down BMPs store it negative).
+    - BMP: 'BM', then the DIB header whose uint32-LE size at offset 14
+      selects the layout: BITMAPCOREHEADER (12) stores width/height as
+      uint16 LE at 18/20; the INFOHEADER family (40/52/56/64/108/124)
+      stores int32 LE at 18/22 (|height|: top-down BMPs store it negative).
+      Unknown DIB sizes → (0, 0) rather than misreading garbage fields.
     """
     try:
         if buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR" and len(buf) >= 24:
@@ -108,11 +111,18 @@ def parse_image_dims(buf: bytes) -> tuple[int, int]:
                 if seg_len < 2:
                     break
                 pos += 2 + seg_len
-        if buf[:2] == b"BM" and len(buf) >= 26:
-            return (
-                int.from_bytes(buf[18:22], "little", signed=True),
-                abs(int.from_bytes(buf[22:26], "little", signed=True)),
-            )
+        if buf[:2] == b"BM" and len(buf) >= 22:
+            dib_size = int.from_bytes(buf[14:18], "little")
+            if dib_size == 12:  # BITMAPCOREHEADER: uint16 fields
+                return (
+                    int.from_bytes(buf[18:20], "little"),
+                    int.from_bytes(buf[20:22], "little"),
+                )
+            if dib_size in (40, 52, 56, 64, 108, 124) and len(buf) >= 26:
+                return (
+                    int.from_bytes(buf[18:22], "little", signed=True),
+                    abs(int.from_bytes(buf[22:26], "little", signed=True)),
+                )
     except Exception:
         pass
     return 0, 0

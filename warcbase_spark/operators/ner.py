@@ -54,13 +54,30 @@ def gazetteer_classifier_factory(
     return init
 
 
-def spacy_classifier_factory(model: str = "en_core_web_sm") -> Callable[[], Callable[[str], str]]:
+SPACY_LABEL_MAP = {
+    "PERSON": "PERSON",
+    "ORG": "ORGANIZATION",
+    "GPE": "LOCATION",
+    "LOC": "LOCATION",
+}
+
+
+def spacy_classifier_factory(
+    model: str = "en_core_web_sm",
+) -> Callable[[], Callable[[list[str]], list[list[str]]]]:
     """Real-model upgrade path (lib-gated: spaCy ships no model in this
     container): the OUTER call validates availability on the driver; the
     INNER call loads the pipeline ONCE PER PARTITION — the exact
     ExtractEntities.scala:62-65 pattern with a genuinely expensive model
-    object. Token classes map spaCy's labels onto the reference's 3-class
-    set (PERSON/ORGANIZATION/LOCATION, NER3Classifier.scala:53).
+    object.
+
+    DOCUMENT granularity, not token: the returned classifier takes a batch
+    of normalized document texts and runs ``nlp.pipe(texts)`` ONCE for the
+    whole batch, so the model sees full sentence context (and the pipeline
+    cost is per-batch, not per-token). Entity char-spans are mapped back to
+    whitespace-token class labels; spaCy labels map onto the reference's
+    3-class set (PERSON/ORGANIZATION/LOCATION, NER3Classifier.scala:53).
+    Pass this as ``extract_entities(doc_classifier_factory=...)``.
     """
     try:
         import spacy  # noqa: F401
@@ -70,22 +87,45 @@ def spacy_classifier_factory(model: str = "en_core_web_sm") -> Callable[[], Call
             "classifier (default) or install spacy + a model"
         ) from e
 
-    label_map = {"PERSON": "PERSON", "ORG": "ORGANIZATION", "GPE": "LOCATION", "LOC": "LOCATION"}
-
-    def init() -> Callable[[str], str]:
+    def init() -> Callable[[list[str]], list[list[str]]]:
         import spacy
 
         nlp = spacy.load(model)  # once per partition — the expensive load
 
-        def classify(tok: str) -> str:
-            doc = nlp(tok)
-            for ent in doc.ents:
-                return label_map.get(ent.label_, "O")
-            return "O"
+        def classify_batch(texts: list[str]) -> list[list[str]]:
+            # ONE pipe invocation per Arrow batch — never per token/doc
+            docs = list(nlp.pipe(texts))
+            out: list[list[str]] = []
+            for text, doc in zip(texts, docs):
+                out.append(spans_to_token_classes(text, doc.ents, SPACY_LABEL_MAP))
+            return out
 
-        return classify
+        return classify_batch
 
     return init
+
+
+def spans_to_token_classes(text: str, ents, label_map: dict[str, str]) -> list[str]:
+    """Map entity char-spans (objects with .label_/.start_char/.end_char)
+    onto the whitespace tokens of ``text``: a token gets the entity's class
+    when their char ranges overlap. Pure function so the span→token logic
+    is unit-testable without a model."""
+    toks = text.split()
+    offsets: list[tuple[int, int]] = []
+    pos = 0
+    for t in toks:
+        start = text.index(t, pos)
+        offsets.append((start, start + len(t)))
+        pos = start + len(t)
+    classes = ["O"] * len(toks)
+    for ent in ents:
+        cls = label_map.get(ent.label_)
+        if cls is None:
+            continue
+        for i, (s, e) in enumerate(offsets):
+            if s < ent.end_char and e > ent.start_char:
+                classes[i] = cls
+    return classes
 
 
 def merge_entity_runs(tokens: list[str], classify: Callable[[str], str]) -> list[tuple[str, str]]:
@@ -95,8 +135,16 @@ def merge_entity_runs(tokens: list[str], classify: Callable[[str], str]) -> list
     out: list[tuple[str, str]] = []
     prev = "O"
     buf: list[str] = []
-    for tok in tokens:
-        cur = classify(tok)
+    return merge_runs(tokens, [classify(tok) for tok in tokens])
+
+
+def merge_runs(tokens: list[str], classes: list[str]) -> list[tuple[str, str]]:
+    """Run-merging over pre-computed per-token classes (shared by the
+    token-level and document-level classifier protocols)."""
+    out: list[tuple[str, str]] = []
+    prev = "O"
+    buf: list[str] = []
+    for tok, cur in zip(tokens, classes):
         if cur != prev and prev != "O" and buf:
             out.append((prev, " ".join(buf)))
             buf = []
@@ -122,10 +170,41 @@ def extract_entities(
     id_col: str = "doc_id",
     text_col: str = "text",
     classifier_factory: Callable[[], Callable[[str], str]] | None = None,
+    doc_classifier_factory: Callable[[], Callable[[list[str]], list[list[str]]]] | None = None,
 ) -> DataFrame:
     """(doc_id, entity_type, entity) rows — one per merged entity run.
     mapInPandas with per-partition classifier init; tokens are the same
-    whitespace normalization as functions.text."""
+    whitespace normalization as functions.text.
+
+    Two classifier protocols: ``classifier_factory`` (token → class; the
+    gazetteer default) and ``doc_classifier_factory`` (batch-of-texts →
+    per-doc token classes in ONE model call per Arrow batch — the shape a
+    real pipeline like spaCy needs for context and throughput)."""
+    if doc_classifier_factory is not None:
+        doc_init = doc_classifier_factory
+
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            classify_batch = doc_init()  # once per partition
+            for pdf in it:
+                dids: list[str] = []
+                norms: list[str] = []
+                for did, text in zip(pdf[id_col].astype(str), pdf[text_col]):
+                    if text is None:
+                        continue
+                    dids.append(did)
+                    norms.append(" ".join(str(text).lower().split()))
+                ids: list[str] = []
+                types: list[str] = []
+                ents: list[str] = []
+                for did, norm, classes in zip(dids, norms, classify_batch(norms)):
+                    for etype, ent in merge_runs(norm.split(), classes):
+                        ids.append(did)
+                        types.append(etype)
+                        ents.append(ent)
+                yield pd.DataFrame({"doc_id": ids, "entity_type": types, "entity": ents})
+
+        return docs.select(id_col, text_col).mapInPandas(batches, _ENTITIES_SCHEMA)
+
     init = classifier_factory or gazetteer_classifier_factory()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
