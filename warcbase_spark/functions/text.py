@@ -119,8 +119,8 @@ def detect_language(text: Column) -> Column:
 # most-frequent boundary-padded trigrams per language, public knowledge),
 # highest-weight first. zh is pinyin-romanized to match the fixture corpus;
 # ru/ja/vi carry their native scripts (UTF-8 length/replace are
-# character-based and engine-identical in Spark and DuckDB). Top-15 web
-# languages — the breadth Tika's LanguageIdentifier ships (~27 profiles);
+# character-based and engine-identical in Spark and DuckDB). 27 languages —
+# the breadth Tika's LanguageIdentifier ships (DetectLanguage.scala:22-25);
 # adding one is a data edit here, the oracle SQL regenerates from this dict.
 LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
     "en": [" th", "the", "he ", "nd ", "and", " an", " of", "of ", "ing", "ng ", " to", "to ", "ed ", "er ", "at ", "is "],
@@ -138,6 +138,24 @@ LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
     "sv": ["och", " oc", "ch ", "en ", "det", "att", " at", "tt ", "som", " so", "den", "er ", "ar ", "för", " fö", "lig"],
     "id": ["kan", "ang", " me", "men", "ng ", " di", "nya", "yan", " ya", "ber", " be", "ada", " pe", "per", "ah ", "dan"],
     "vi": ["ng ", " ng", "ông", " th", " nh", "anh", "iệt", "ười", " củ", "của", "ủa ", " kh", "khô", "nhà", "đượ", " tr"],
+    # round-4 breadth extension to 27 profiles — Tika's LanguageIdentifier
+    # count (DetectLanguage.scala:22-25). Native scripts throughout (UTF-8
+    # length/replace are character-based and engine-identical); every entry
+    # is exactly 3 characters (the /3 occurrence arithmetic requires it,
+    # asserted in tests/test_text.py). Goldens verified argmax-correct for
+    # all 27 languages against the full profile set.
+    "da": [" og", "og ", "det", " de", "er ", "ikk", "kke", " ik", " at", "at ", "ede", "nde", "for", " fo", "ige", "ler"],
+    "fi": ["en ", " on", "on ", "ist", "sta", "lla", "ssa", " ka", "aan", "taa", "tta", "ja ", " ja", "een", "ine", "nen"],
+    "cs": [" pr", "pro", " po", "ost", "ova", "eni", " ne", "ych", " je", "je ", "ani", "sti", " st", "ho ", "pre", "dob"],
+    "ro": ["ul ", "lui", "ui ", " si", "si ", " cu", "cu ", "are", "rea", "ea ", "ste", " pe", "pe ", "tru", "at ", "ilo"],
+    "hu": [" az", "az ", " eg", "egy", "gy ", "nek", "nak", "ek ", "tt ", "ett", "sze", " sz", "ben", "ban", "min", "hog"],
+    "el": ["και", " κα", "αι ", "το ", " το", "του", "ου ", "ης ", "την", " τη", "να ", " να", "ει ", "εν ", "ται", "ος "],
+    "uk": [" і ", "ння", "ого", "ть ", " не", "на ", " на", "ий ", "іль", "ськ", "ому", " що", "що ", "ить", "ні ", "ати"],
+    "ar": ["ال ", " ال", "الم", "في ", " في", "من ", " من", "ية ", "لى ", "على", " عل", "ها ", "ان ", "ات ", "الل", "ون "],
+    "ko": ["습니다", "니다 ", "입니다", " 있다", "있다 ", "그리고", "리고 ", "하고 ", " 에서", "에서 ", " 하는", "하는 ", " 것이", "것이 ", " 그것", "거기서"],
+    "th": ["การ", "ที่", "ของ", "และ", "ประ", "ควา", "วาม", "เป็", "ป็น", "ไม่", "ให้", "ได้", "อยู", "ยู่", "มาก", "จาก"],
+    "hi": ["है ", " है", "ें ", "ने ", " के", "के ", "की ", " की", "ों ", "ता ", " का", "का ", "ार ", " को", "को ", "िया"],
+    "sw": ["wa ", " wa", "na ", " na", " ku", "ya ", " ya", "ali", "ika", "kwa", " kw", "ni ", "ana", "cha", " ch", "ili"],
 }
 
 # fixed evaluation order = deterministic tie-break (first lang in this order
@@ -147,6 +165,7 @@ LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
 LANG_TRIGRAM_ORDER: list[str] = [
     "en", "de", "es", "fr", "zh",
     "pt", "it", "nl", "pl", "ru", "ja", "tr", "sv", "id", "vi",
+    "da", "fi", "cs", "ro", "hu", "el", "uk", "ar", "ko", "th", "hi", "sw",
 ]
 
 # Real-sentence golden vectors, one per profile language (no apostrophes —
@@ -170,7 +189,43 @@ LANG_GOLDEN_SENTENCES: dict[str, str] = {
     "sv": "den snabba hunden springer genom skogen och hittar inte det som den vill ha",
     "id": "anjing cepat itu berlari melalui hutan dan tidak menemukan sesuatu yang baik di sana",
     "vi": "con chó nhanh chạy qua rừng và không tìm thấy thứ gì tốt ở trong đó của người",
+    "da": "den hurtige hund loeber gennem skoven og finder ikke det som den gerne vil have",
+    "fi": "nopea koira juoksee metsassa ja se ei loyda mitaan hyvaa talla kertaa siella",
+    "cs": "rychly pes bezi lesem a nenachazi nic dobreho na tomto miste pro sebe ani pro jine",
+    "ro": "acesta este un loc frumos si cainele alearga prin padurea mare pentru prietenul lui",
+    "hu": "a gyors kutya fut az erdoben es nem talal semmi jot ebben a helyben egy masik embernek",
+    "el": "ο γρηγορος σκυλος τρεχει μεσα στο δασος και δεν βρισκει τιποτα καλο για τον εαυτο του",
+    "uk": "швидкий пес біжить через ліс і не знаходить нічого доброго на цьому місці для себе",
+    "ar": "الكلب السريع يجري في الغابة ولا يجد شيئا جيدا من اجل نفسه في هذا المكان",
+    "ko": "빠른 개가 숲을 달리고 있다 그리고 거기서 아무것도 찾지 못하고 있다",
+    "th": "การวิ่งของสุนัขที่รวดเร็วผ่านป่าและไม่พบอะไรที่ดีในที่นี้เป็นความจริง",
+    "hi": "तेज कुत्ता जंगल से भागता है और उसे वहां कुछ भी अच्छा नहीं मिलता है इस जगह के लिए",
+    "sw": "mbwa mwepesi anakimbia msituni na hapati kitu kizuri hapa kwa ajili yake mwenyewe",
 }
+
+
+def _profile_literal() -> Column:
+    """The full profile table as ONE constant-folded array literal:
+    array<struct<lang, pref, tris: array<struct<tri, w>>>>. pref is the
+    reverse LANG_TRIGRAM_ORDER index so a score tie resolves to the
+    EARLIEST language; trigram weight w = 16-j (rank-descending)."""
+    n = len(LANG_TRIGRAM_ORDER)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.lit(n - i).alias("pref"),
+                F.array(
+                    *[
+                        F.struct(F.lit(tri).alias("tri"), F.lit(len(tris) - j).alias("w"))
+                        for j, tri in enumerate(tris)
+                    ]
+                ).alias("tris"),
+            )
+            for i, lang in enumerate(LANG_TRIGRAM_ORDER)
+            for tris in (LANG_TRIGRAM_PROFILES[lang],)
+        ]
+    )
 
 
 def trigram_lang_scores(text: Column) -> dict[str, Column]:
@@ -181,6 +236,12 @@ def trigram_lang_scores(text: Column) -> dict[str, Column]:
     length-delta-of-replace trick — both Spark's and DuckDB's replace()
     scan left-to-right non-overlapping, so the arithmetic is engine-exact.
     All JVM Column ops: no UDF in the scoring path.
+
+    Unrolled per-language form (27 named Columns) — used by tests and
+    ad-hoc analysis; detect_language_trigram uses the folded
+    higher-order-function form below, whose generated code size is
+    CONSTANT in profile count (the 27×16 unrolled tree overflows Janino's
+    64 KB method limit and knocks the whole stage off codegen).
     """
     t = F.concat(F.lit(" "), normalize_ws(F.lower(text)), F.lit(" "))
     out: dict[str, Column] = {}
@@ -200,36 +261,48 @@ def detect_language_trigram(text: Column) -> Column:
     LanguageIdentifier, DetectLanguage.scala:22-25, which is itself an
     n-gram profile classifier). 'und' for null/empty/zero-evidence text.
 
-    Shape matters at 15 languages: argmax-with-tie-break runs as ONE
+    Shape matters at 27 languages: argmax-with-tie-break runs as ONE
     ``array_max`` over (score, pref, lang) structs, so each language's
-    16-replace scoring tree appears exactly once in the plan. The earlier
-    nested-CASE chain referenced every score up to |langs| times —
-    Catalyst doesn't CSE across expression references, so that form
-    re-evaluates ~15× the replace work per row (and the plan tree grows
-    quadratically with profile count). pref = reverse order index, so a
-    score tie resolves to the EARLIEST language in LANG_TRIGRAM_ORDER —
-    identical semantics to the oracle's CASE chain. The 'und' sentinel
-    (score 0, highest pref) wins exactly when every real score is 0 ⟺
-    the oracle's total-score-=-0 test, since scores are non-negative.
+    16-replace scoring tree appears exactly once in the plan. pref =
+    reverse order index, so a score tie resolves to the EARLIEST language
+    in LANG_TRIGRAM_ORDER — identical semantics to the oracle's CASE
+    chain. The 'und' sentinel (score 0, highest pref) wins exactly when
+    every real score is 0 ⟺ the oracle's total-score-=-0 test, since
+    scores are non-negative.
+
+    Code-size matters too: the scoring loop is a higher-order-function
+    fold over a constant-folded profile literal (transform ∘ aggregate),
+    NOT 27×16 unrolled replace() nodes. The unrolled tree generates
+    >64 KB of Java for one method — Janino rejects it and Spark drops the
+    WHOLE stage (scan + agg included) to interpreted execution. The HOF
+    form keeps generated code constant-size in profile count: the loop
+    lives in the literal array data. The replace() arithmetic itself is
+    byte-identical to the unrolled form (asserted by
+    test_trigram_hof_matches_unrolled), so the DuckDB oracles — still
+    generated as the unrolled SQL — are unchanged.
     """
-    s = trigram_lang_scores(text)
+    t = F.concat(F.lit(" "), normalize_ws(F.lower(text)), F.lit(" "))
     n = len(LANG_TRIGRAM_ORDER)
-    structs = [
-        F.struct(
-            s[lang].alias("score"),
-            F.lit(n - i).alias("pref"),
-            F.lit(lang).alias("lang"),
-        )
-        for i, lang in enumerate(LANG_TRIGRAM_ORDER)
-    ]
-    structs.append(
-        F.struct(
-            F.lit(0).cast("long").alias("score"),
-            F.lit(n + 1).alias("pref"),
-            F.lit("und").alias("lang"),
-        )
+    scored = F.transform(
+        _profile_literal(),
+        lambda p: F.struct(
+            F.aggregate(
+                p["tris"],
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + x["w"].cast("long")
+                * ((F.length(t) - F.length(F.replace(t, x["tri"], F.lit("")))) / 3).cast("long"),
+            ).alias("score"),
+            p["pref"].alias("pref"),
+            p["lang"].alias("lang"),
+        ),
     )
-    best = F.array_max(F.array(*structs))
+    sentinel = F.struct(
+        F.lit(0).cast("long").alias("score"),
+        F.lit(n + 1).alias("pref"),
+        F.lit("und").alias("lang"),
+    )
+    best = F.array_max(F.concat(scored, F.array(sentinel)))
     return F.when(text.isNull(), F.lit("und")).otherwise(best.getField("lang"))
 
 

@@ -769,10 +769,10 @@ def _trigram_oracle_sql() -> str:
 
 
 def _trigram_golden_oracle_sql() -> str:
-    """The 15-language golden-sentence twin: same generated scoring/argmax
-    chain, but over the shared LANG_GOLDEN_SENTENCES literals instead of the
-    5-language fixture corpus — so classifier QUALITY on real text of all 15
-    profiles is driver-verified, not just engine-parity arithmetic."""
+    """The golden-sentence twin: same generated scoring/argmax chain, but
+    over the shared LANG_GOLDEN_SENTENCES literals instead of the 5-language
+    fixture corpus — so classifier QUALITY on real text of all 27 profiles
+    is driver-verified, not just engine-parity arithmetic."""
     from warcbase_spark.functions.text import LANG_GOLDEN_SENTENCES
 
     scores, case = _trigram_scores_and_case()
@@ -810,12 +810,13 @@ def lang_id_trigram(spark, sf_dir):
     )
 
 
-@query("lang_id_golden15", _trigram_golden_oracle_sql())
-def lang_id_golden15(spark, sf_dir):
-    """X11 breadth evidence: the 15-language trigram classifier over one
-    real sentence per profile language (LANG_GOLDEN_SENTENCES — native
-    scripts included; UTF-8 character arithmetic is engine-identical).
-    Returns (truth, detected) pairs; a correct classifier detects all 15."""
+@query("lang_id_golden27", _trigram_golden_oracle_sql())
+def lang_id_golden27(spark, sf_dir):
+    """X11 breadth evidence at Tika's profile count (~27,
+    DetectLanguage.scala:22-25): the trigram classifier over one real
+    sentence per profile language (LANG_GOLDEN_SENTENCES — native scripts
+    included; UTF-8 character arithmetic is engine-identical). Returns
+    (truth, detected) pairs; a correct classifier detects all 27."""
     from warcbase_spark.functions.text import (
         LANG_GOLDEN_SENTENCES,
         detect_language_trigram,
