@@ -3,7 +3,8 @@
 Usage:
     spark-submit --master local[N] --py-files warcbase_spark.zip \
         jobs/frontier_crawl.py --corpus <dir> --state <dir> \
-        [--max-rounds R] [--no-bloom] [--salt-k K] [--gen-docs N]
+        [--max-rounds R] [--no-bloom] [--bloom-mode jvm|sharded|cogrouped|cuckoo] \
+        [--salt-k K] [--gen-docs N]
 
 ``--gen-docs N`` synthesizes the deterministic fixture corpus (seed=42)
 into --corpus first, so the job is self-contained for benchmarking.
@@ -26,6 +27,12 @@ def main() -> None:
     ap.add_argument("--max-rounds", type=int, default=1000)
     ap.add_argument("--salt-k", type=int, default=16)
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--bloom-mode",
+        default="jvm",
+        choices=["jvm", "sharded", "cogrouped", "cuckoo"],
+        help="URL-seen prefilter structure (north rule: bloom/cuckoo)",
+    )
     ap.add_argument("--gen-docs", type=int, default=0)
     ap.add_argument("--fresh", action="store_true", help="wipe state dir first")
     args = ap.parse_args()
@@ -51,6 +58,7 @@ def main() -> None:
         max_rounds=args.max_rounds,
         salt_k=args.salt_k,
         use_bloom=not args.no_bloom,
+        bloom_mode=args.bloom_mode,
     )
     metrics = fc.run()
     elapsed = time.time() - t0

@@ -206,3 +206,85 @@ def test_cuckoo_saturation_stays_safe():
     assert c.contains_vec(h1, h2).all()  # saturation → still all positive
     sat = c.shards[0][1]
     assert sat.any()
+
+
+def test_cuckoo_distributed_build_parity(spark):
+    """`build_cuckoo` (distributed per-shard applyInPandas, collects only
+    the fixed-size shard tables) must produce BIT-IDENTICAL tables to the
+    single-process reference build that collects every (h1, h2) pair —
+    the vectorized placement is a pure function of each shard's key set."""
+    import numpy as np
+
+    from warcbase_spark.operators.seen import (
+        CuckooParams, build_cuckoo, build_cuckoo_collected,
+    )
+
+    n = 4000
+    keys = spark.range(n).select(F.concat(F.lit("net.par/t/"), "id").alias("url_key"))
+    p = CuckooParams.size(n, n_shards=8)
+    dist = build_cuckoo(keys, p)
+    ref = build_cuckoo_collected(keys, p)
+    assert set(dist.shards) == set(ref.shards)
+    for sid in ref.shards:
+        dt, ds = dist.shards[sid]
+        rt, rs = ref.shards[sid]
+        assert np.array_equal(dt, rt), f"shard {sid} table mismatch"
+        assert np.array_equal(ds, rs), f"shard {sid} sat mismatch"
+
+
+def test_cuckoo_cogrouped_probe_and_delete_parity(spark):
+    """The 10^10-key cuckoo forms: DataFrame-resident shard tables probed
+    cogrouped (parity vs broadcast probe) and deleted cogrouped (parity vs
+    in-memory delete_vec) — the key set and the filter never transit the
+    driver in this path except for the final assert collects."""
+    import numpy as np
+
+    from warcbase_spark.operators.seen import (
+        CuckooParams, ShardedCuckoo, _cuckoo_row_to_shard, build_cuckoo,
+        build_cuckoo_shards, delete_cuckoo_cogrouped, probe_cuckoo,
+        probe_cuckoo_cogrouped, with_bloom_hashes,
+    )
+
+    n = 3000
+    keys = spark.range(n).select(F.concat(F.lit("org.cg/d/"), "id").alias("url_key"))
+    absent = spark.range(n, 2 * n).select(F.concat(F.lit("org.cg/d/"), "id").alias("url_key"))
+    p = CuckooParams.size(n, n_shards=8)
+    shards_df = build_cuckoo_shards(keys, p).cache()
+    mem = build_cuckoo(keys, p)
+
+    # probe parity (present + absent) vs the broadcast probe
+    for probe_set in (keys, absent):
+        cg = {
+            r["url_key"]: r["maybe_seen"]
+            for r in probe_cuckoo_cogrouped(probe_set, shards_df, p).collect()
+        }
+        bc = {
+            r["url_key"]: r["maybe_seen"]
+            for r in probe_cuckoo(spark, probe_set, mem, "url_key").collect()
+        }
+        assert cg == bc
+
+    # delete the first 200 keys cogrouped; compare vs in-memory delete_vec
+    dels = keys.limit(200)
+    new_shards = delete_cuckoo_cogrouped(shards_df, dels, p)
+    hashed = with_bloom_hashes(dels).select(
+        F.pmod(F.col("h1"), F.lit(1 << 62)).alias("h1"),
+        F.pmod(F.col("h2"), F.lit(1 << 62)).alias("h2"),
+    ).toPandas()
+    mem.delete_vec(hashed["h1"].to_numpy(np.int64), hashed["h2"].to_numpy(np.int64))
+    got = {
+        int(r["shard"]): _cuckoo_row_to_shard(p, r["table"], r["sat"])
+        for r in new_shards.collect()
+    }
+    assert set(got) == set(mem.shards)
+    for sid in got:
+        assert np.array_equal(got[sid][0], mem.shards[sid][0]), sid
+        assert np.array_equal(got[sid][1], mem.shards[sid][1]), sid
+
+    # and the deleted keys really probe negative through the cogrouped path
+    gone = (
+        probe_cuckoo_cogrouped(dels, new_shards, p)
+        .filter(F.col("maybe_seen"))
+        .count()
+    )
+    assert gone == 0
