@@ -523,6 +523,33 @@ def test_ivf_topk_matches_numpy(spark):
     assert [(r["vec_id"], r["sim"]) for r in got] == [(i, s) for s, i in want]
 
 
+def test_ivf_batch_matches_per_query_and_no_collect(spark):
+    """Batch IVF must return, for EVERY query, exactly what the single-query
+    ivf_topk returns — and keep the whole fan-out in one plan (no
+    per-query driver collect, no per-row Python)."""
+    from warcbase_spark.operators.similarity import ivf_topk, ivf_topk_batch
+
+    rng = np.random.RandomState(12)
+    vecs = rng.randn(80, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    batch = ivf_topk_batch(
+        e, query_filter=F.col("vec_id") % 20 == 0, k=5, n_cells=4, nprobe=2,
+        dim=8, seed=13,
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+    assert sorted(got) == [0, 20, 40, 60]
+    for qid in sorted(got):
+        single = ivf_topk(e, query_id=qid, k=5, n_cells=4, nprobe=2, dim=8, seed=13)
+        assert got[qid] == [(r["vec_id"], r["sim"]) for r in single.collect()], qid
+
+
 def test_connected_components_labels_and_fixed_iters(spark):
     from warcbase_spark.operators.components import (
         component_sizes,

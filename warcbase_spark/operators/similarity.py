@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -218,6 +218,128 @@ def ivf_topk(
         .orderBy(F.desc("sim"), "vec_id")
         .limit(k)
     )
+
+
+def ivf_probe_cells(emb, n_cells: int = 16, nprobe: int = 2, dim: int = 64,
+                    seed: int = 13) -> Column:
+    """Array of the embedding's ``nprobe`` best cells (score DESC, cell ASC
+    on ties), fully Catalyst-side: one struct per centroid with NEGATED
+    score so ``array_sort``'s ascending lexicographic order ranks best
+    first, sliced to nprobe. Each centroid-score expression appears exactly
+    once in the plan (same discipline as ``ivf_cell``)."""
+    cents = ivf_centroids(n_cells, dim, seed)
+    structs = [
+        F.struct((-s).alias("nscore"), F.lit(i).alias("cell"))
+        for i, s in enumerate(_ivf_scores(emb, cents))
+    ]
+    ranked = F.array_sort(F.array(*structs))
+    return F.transform(F.slice(ranked, 1, nprobe), lambda x: x.getField("cell"))
+
+
+def ivf_topk_batch(
+    emb_df: DataFrame,
+    query_filter: Column,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """Batch IVF ANN — the shape a training pipeline actually runs
+    (retrieval for a FULL query set, not one point lookup): every vector
+    gets its argmax cell, every query row (``query_filter`` selects them
+    from the same table) gets its nprobe best cells via ``ivf_probe_cells``
+    (no driver collect anywhere), and candidates meet queries in ONE join
+    on ``cell``. Per-query top-k is a window over (sim DESC, vec_id).
+
+    Scale shape: ``cell`` is the vector table's partition key at cluster
+    scale, so the join co-locates each query with exactly the nprobe
+    partitions it probes; the query side is queries × nprobe rows —
+    broadcastable for point/batch lookups, an even hash-shuffle join for
+    corpus-vs-corpus retrieval. No per-query work ever touches the
+    driver."""
+    v = as_double(F.col(emb_col))
+    e = emb_df.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("v"),
+        ivf_cell(F.col(emb_col), n_cells, dim, seed).alias("cell"),
+    )
+    q = (
+        emb_df.filter(query_filter)
+        .select(
+            F.col(id_col).alias("query_id"),
+            v.alias("qv"),
+            F.explode(
+                ivf_probe_cells(F.col(emb_col), n_cells, nprobe, dim, seed)
+            ).alias("cell"),
+        )
+    )
+    sims = (
+        e.join(q, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 3).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "vec_id", "sim")
+    )
+
+
+def ivf_batch_oracle_sql(
+    query_mod: int,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    dim: int = 64,
+    seed: int = 13,
+) -> str:
+    """DuckDB twin of ``ivf_topk_batch`` with queries = vec_id divisible by
+    ``query_mod``: same seeded centroids, same argmax-cell and probe-cell
+    ranking (score DESC, cell ASC), same per-query window top-k."""
+    cents = ivf_centroids(n_cells, dim, seed)
+    scores = ", ".join(
+        "list_sum(list_transform(list_zip(q, [" + ", ".join(str(c) for c in cv)
+        + "]), p -> p[1] * p[2]))"
+        for cv in cents
+    )
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    sc AS MATERIALIZED (SELECT vec_id, v, [{scores}] AS ss FROM e),
+    cellt AS MATERIALIZED (
+      SELECT vec_id, v, list_position(ss, list_max(ss)) - 1 AS cell, ss FROM sc
+    ),
+    qprobe AS (
+      SELECT qv.vec_id AS query_id, qv.v AS qvec, t.i - 1 AS cell,
+             row_number() OVER (PARTITION BY qv.vec_id
+                                ORDER BY qv.ss[t.i] DESC, t.i) AS cell_rank
+      FROM (SELECT * FROM cellt WHERE vec_id % {query_mod} = 0) qv,
+           range(1, {n_cells + 1}) t(i)
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id,
+             round(list_dot_product(c.v, p.qvec)
+                   / (sqrt(list_dot_product(c.v, c.v))
+                      * sqrt(list_dot_product(p.qvec, p.qvec))), 3) AS sim
+      FROM cellt c JOIN qprobe p ON c.cell = p.cell AND p.cell_rank <= {nprobe}
+      WHERE c.vec_id != p.query_id
+    )
+    SELECT query_id, vec_id, sim FROM (
+      SELECT cand.*, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rn
+      FROM cand
+    ) WHERE rn <= {k}
+    """
 
 
 def ivf_oracle_sql(

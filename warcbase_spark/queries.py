@@ -1447,6 +1447,30 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+from warcbase_spark.operators.similarity import ivf_batch_oracle_sql as _ivf_batch_sql  # noqa: E402
+
+
+@query(
+    "ann_ivf_batch",
+    _ivf_batch_sql(query_mod=25, n_cells=16, nprobe=2, k=5, dim=_ANN_DIM, seed=13),
+)
+def ann_ivf_batch(spark, sf_dir):
+    """Batch ANN — the many-query form a training-data pipeline runs
+    (retrieval for a full query set / corpus-vs-corpus dedup), vs
+    ann_ivf_topk's single point lookup. Every 25th vector is a query; each
+    gets its nprobe=2 best cells Catalyst-side (array_sort over negated
+    centroid scores — no per-query driver collect), candidates meet
+    queries in one join on cell (= partition pruning when the table is
+    stored partitioned by cell), per-query top-5 by window."""
+    from warcbase_spark.operators.similarity import ivf_topk_batch
+
+    return ivf_topk_batch(
+        _t(spark, sf_dir, "embeddings"),
+        query_filter=F.col("vec_id") % 25 == 0,
+        k=5, n_cells=16, nprobe=2, dim=_ANN_DIM, seed=13,
+    )
+
+
 def _pagerank_oracle_sql(iters: int = 5) -> str:
     base = _WEB_CTE.rstrip() + """,
 edges AS (SELECT DISTINCT src_id, dst_id FROM links),
@@ -2444,6 +2468,7 @@ _DEFERRED = [
     "pages_month_domain_having",  # sibling: domain_links_monthly (same month group-having shape); r01-r03 green
     "domain_range_scan",          # sibling: url_history (same S9 sorted-key HBase-get emulation); r01-r03 green
     "lang_id_confusion",          # sibling: lang_id_trigram + lang_id_golden27 drive the same detect_language() on the same corpus
+    "tpch_q6",                    # sibling: tpch_q1/q3/q5 (same scan+pushdown+agg stack); r01-r03 green, code unchanged
 ]
 
 
