@@ -55,6 +55,8 @@ HEADLINE = [
     "ner_entities",
     "tweets_ingest",
     "mime_sniff",
+    # round-4 operators
+    "ann_ivf_batch",
 ]
 
 
@@ -183,8 +185,15 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_bench_scratch")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
+    from warcbase_spark.calibration import bandwidth_ceiling
     from warcbase_spark.queries import QUERIES
     from warcbase_spark.session import get_spark
+
+    # hardware-ceiling probe BEFORE the run (and again after): co-tenant
+    # load on this host varies by the hour, so every BENCH JSON carries the
+    # window's achievable scaling ceiling — wall-clocks from different
+    # rounds are only comparable after normalizing by it
+    calib_pre = bandwidth_ceiling(4)
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
 
@@ -212,6 +221,7 @@ def main() -> None:
         timings[name] = round(best, 3)
     timings["frontier_pipeline"] = frontier["sec"]
     total = round(time.monotonic() - total0, 3)
+    calib_post = bandwidth_ceiling(4)
 
     print(
         json.dumps(
@@ -225,6 +235,12 @@ def main() -> None:
                 "total_sec": total,
                 "frontier": frontier,
                 "cpus": cpus,
+                # window quality: 1.0 = unloaded host; wall-clocks across
+                # rounds are comparable only after reading them against
+                # this (see BENCH.md "hardware ceiling")
+                "ceiling": min(calib_pre["ceiling"], calib_post["ceiling"]),
+                "ceiling_pre": calib_pre,
+                "ceiling_post": calib_post,
             }
         )
     )

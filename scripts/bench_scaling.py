@@ -34,38 +34,7 @@ print("RESULT " + json.dumps({{"cpus": cpus, **r}}))
 """
 
 
-CALIB = r"""
-import time, numpy as np
-a = np.random.RandomState(0).rand(4_000_000)
-t0 = time.monotonic(); s = 0.0
-for _ in range(30):
-    s += float(np.sort(a.copy())[0])
-print(time.monotonic() - t0)
-"""
-
-
-def bandwidth_ceiling(quad: int) -> dict:
-    """Hardware calibration: the box's ACHIEVABLE scaling ceiling for
-    sort/shuffle (bandwidth-bound) work, measured with plain numpy sorts in
-    separate processes — no Spark, no Python threads (GIL), no shared state.
-    Co-tenant VMs on this host vary memory-bandwidth pressure by the hour
-    (measured 0.67-1.0 across a day), so the job's efficiency must be read
-    AGAINST this ceiling, not against 1.0."""
-
-    def run_n(n: int) -> list[float]:
-        procs = [
-            subprocess.Popen([sys.executable, "-c", CALIB], stdout=subprocess.PIPE, text=True)
-            for _ in range(n)
-        ]
-        return [float(p.communicate()[0].strip()) for p in procs]
-
-    t1 = min(run_n(1)[0] for _ in range(2))
-    tq = run_n(quad)
-    return {
-        "t_single": round(t1, 2),
-        "t_concurrent_mean": round(sum(tq) / len(tq), 2),
-        "ceiling": round(t1 * len(tq) / sum(tq), 3),
-    }
+from warcbase_spark.calibration import bandwidth_ceiling  # noqa: E402  (shared with bench.py)
 
 
 def run_level(root: str, cpus: int, n: int, repeat: int) -> dict:
