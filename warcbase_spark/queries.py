@@ -1595,6 +1595,124 @@ def pagerank_tol(spark, sf_dir):
     )
 
 
+_PGL_SCALE = 10**12
+_PGL_TOL_FP = 20_000_000_000  # 0.02 on GraphX's un-normalized per-vertex scale
+_PGL_MAX_ITERS = 20
+_PGL_RANK0 = (85 * ((15 * _PGL_SCALE) // 85)) // 100  # 0.85 × initialMessage
+
+
+def _pagerank_pregel_oracle_sql(tol_fp: int, max_iters: int) -> str:
+    """Unrolled per-vertex-convergence oracle: each iteration materializes
+    the sender set (active AND delta > tol), the delta messages, and the
+    updated (rank, delta, active) state; ``iters`` = first superstep whose
+    sender set is empty, minus one (quiescence), else max_iters."""
+    base = _WEB_CTE.rstrip() + f""",
+edges AS MATERIALIZED (SELECT DISTINCT src_id, dst_id FROM links),
+outd AS MATERIALIZED (SELECT src_id, count(*) AS od FROM edges GROUP BY src_id),
+st0 AS MATERIALIZED (
+  SELECT doc_id AS id, CAST({_PGL_RANK0} AS BIGINT) AS r,
+         CAST({_PGL_RANK0} AS BIGINT) AS d, TRUE AS a FROM w)
+"""
+    body = ""
+    for i in range(1, max_iters + 1):
+        p = i - 1
+        body += f""",
+snd{i} AS MATERIALIZED (
+  SELECT s.id, s.d, o.od FROM st{p} s JOIN outd o ON o.src_id = s.id
+  WHERE s.a AND s.d > {tol_fp}
+),
+ms{i} AS MATERIALIZED (
+  SELECT e.dst_id AS id, CAST(sum(s.d // s.od) AS BIGINT) AS m
+  FROM edges e JOIN snd{i} s ON s.id = e.src_id GROUP BY e.dst_id
+),
+st{i} AS MATERIALIZED (
+  SELECT s.id,
+         CASE WHEN m.m IS NOT NULL THEN s.r + (85 * m.m) // 100 ELSE s.r END AS r,
+         CASE WHEN m.m IS NOT NULL THEN (85 * m.m) // 100 ELSE s.d END AS d,
+         m.m IS NOT NULL AS a
+  FROM st{p} s LEFT JOIN ms{i} m ON m.id = s.id
+)"""
+    counts = ", ".join(
+        f"(SELECT count(*) FROM snd{i}) AS q{i}" for i in range(1, max_iters + 1)
+    )
+    body += f",\nqs AS MATERIALIZED (SELECT {counts})"
+    iter_case = (
+        "CASE "
+        + " ".join(f"WHEN qs.q{i} = 0 THEN {i - 1}" for i in range(1, max_iters + 1))
+        + f" ELSE {max_iters} END"
+    )
+    return (
+        base
+        + body
+        + f"\nSELECT st{max_iters}.id, st{max_iters}.r AS rank_fp,"
+        + f" CAST({iter_case} AS INT) AS iters\nFROM st{max_iters}, qs"
+    )
+
+
+@query("pagerank_pregel", _pagerank_pregel_oracle_sql(_PGL_TOL_FP, _PGL_MAX_ITERS))
+def pagerank_pregel(spark, sf_dir):
+    """G5 dynamic PageRank with GraphX's PER-VERTEX convergence semantics
+    (``graph.pageRank(tol)``, ExtractGraph.scala:66-69 → GraphX
+    PageRank.runUntilConvergence, public Spark source): ranks start at 0,
+    every vertex receives the initial resetProb/(1-resetProb) message, and
+    thereafter a vertex sends delta/outDeg along its out-edges only while
+    it was itself messaged last superstep AND its delta exceeds tol; the
+    loop ends when no messages flow. Unlike pagerank_tol's global max-Δ
+    cutoff (the documented divergence this query closes), converged
+    subgraphs here go quiet individually while hubs keep iterating —
+    Pregel's halting rule, expressed as a DataFrame loop: the per-round
+    sender set is a filter, message passing is the edges join + groupBy
+    sum, and vertex state is a localCheckpoint'ed (id, rank, delta,
+    active) frame. Integer fixed-point throughout, so the unrolled DuckDB
+    oracle matches bit-for-bit including the quiescence superstep."""
+    docs = web_docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    edges = web_links(spark, sf_dir).select("src_id", "dst_id").distinct().cache()
+    outd = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("od"))
+    state = docs.select(
+        "id",
+        F.lit(_PGL_RANK0).cast("long").alias("r"),
+        F.lit(_PGL_RANK0).cast("long").alias("d"),
+        F.lit(True).alias("a"),
+    ).localCheckpoint(eager=True)
+    it = _PGL_MAX_ITERS
+    for i in range(1, _PGL_MAX_ITERS + 1):
+        senders = (
+            state.filter(F.col("a") & (F.col("d") > _PGL_TOL_FP))
+            .select(F.col("id").alias("src_id"), "d")
+            .join(outd, "src_id")
+        )
+        if senders.count() == 0:
+            it = i - 1
+            break
+        msgs = (
+            edges.join(senders, "src_id")
+            .select("dst_id", F.expr("d div od").alias("c"))
+            .groupBy("dst_id")
+            .agg(F.sum("c").alias("m"))
+        )
+        inc = F.expr("85 * m div 100")
+        state = (
+            state.join(msgs, state["id"] == msgs["dst_id"], "left")
+            .select(
+                "id",
+                F.when(F.col("m").isNotNull(), F.col("r") + inc)
+                .otherwise(F.col("r"))
+                .cast("long")
+                .alias("r"),
+                F.when(F.col("m").isNotNull(), inc)
+                .otherwise(F.col("d"))
+                .cast("long")
+                .alias("d"),
+                F.col("m").isNotNull().alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return state.select(
+        "id", F.col("r").alias("rank_fp"), F.lit(it).cast("int").alias("iters")
+    )
+
+
 @query("pagerank5", _pagerank_oracle_sql(5))
 def pagerank5(spark, sf_dir):
     """G1/G5 PageRank (ExtractGraph.scala:42-75) as an iterative DataFrame
@@ -2469,6 +2587,7 @@ _DEFERRED = [
     "domain_range_scan",          # sibling: url_history (same S9 sorted-key HBase-get emulation); r01-r03 green
     "lang_id_confusion",          # sibling: lang_id_trigram + lang_id_golden27 drive the same detect_language() on the same corpus
     "tpch_q6",                    # sibling: tpch_q1/q3/q5 (same scan+pushdown+agg stack); r01-r03 green, code unchanged
+    "events_props_json",          # sibling: tweets_ingest (same JSON-parse util family X17-X20); r03 green, code unchanged
 ]
 
 
