@@ -16,6 +16,8 @@ SHOW = [
     "frontier_schedule_r0", "dedup_minhash_lsh", "ann_lsh_topk",
     "site_links_rangejoin", "multimodal_decode", "image_dims_real",
     "dedup_winnow", "ann_ivf_topk", "dedup_simhash",
+    "ann_ivf_batch", "quality_repetition", "decontam_eval3",
+    "pack_sequences", "mix_weighted_sample",
 ]
 
 

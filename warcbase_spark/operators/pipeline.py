@@ -1,0 +1,308 @@
+"""Training-data pipeline operators: repetition quality, decontamination,
+sequence packing, weighted source mixing.
+
+These extend the engine past the reference's archive-analytics surface into
+the operations a 100 TB LLM training-data pipeline runs between "crawl" and
+"tokenizer" (the reference stops at extraction; cf. warcbase's
+ExtractLinks/DetectLanguage pipelines). Design rules, per north rule:
+
+- Everything is a Catalyst Column expression or a keyed shuffle — no Python
+  in the hot path, no driver-side loops over data.
+- Per-document statistics (repetition) are computed with higher-order
+  functions over the document's own token array: a narrow, map-only plan
+  with ZERO shuffle. At 100 TB this is the difference between a pure scan
+  and an explode that multiplies the shuffle volume by tokens-per-doc.
+- Corpus-wide coordinates (sequence packing) use a two-level prefix sum
+  (per-bucket window + tiny bucket-offset window + broadcast join) instead
+  of a global Window.orderBy, which would funnel every row through one
+  task.
+- Cross-corpus membership (decontamination) is a semi-join on shingle
+  keys with the small side broadcast, falling back to a shuffled join
+  past a row gate — same shape as the URL-seen operator (seen.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Repetition / quality statistics (Gopher-style rules, token-gram variant)
+# ---------------------------------------------------------------------------
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Token n-grams as space-joined strings; empty array when too short."""
+    ntok = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(0), ntok - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    return F.when(ntok >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent elements (= count of the
+    most frequent element when the array is sorted). Single fold, single
+    scalar out — referencing a multi-field aggregate result N times would
+    re-evaluate the whole fold N times (CodegenFallback has no let-binding).
+    """
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"), F.lit(0).cast("long").alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best"))
+
+    return F.aggregate(sorted_arr, acc0, step, lambda a: a["best"])
+
+
+def _dup_occurrences(sorted_arr: Column) -> Column:
+    """Number of elements belonging to a value that occurs >= 2 times.
+    On a sorted array a run reaching length 2 contributes both members (+2),
+    each further member +1."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("run"), F.lit(0).cast("long").alias("dup")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        add = F.when(run == F.lit(2), F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        return F.struct(x.alias("prev"), run.alias("run"), (acc["dup"] + add).alias("dup"))
+
+    return F.aggregate(sorted_arr, acc0, step, lambda a: a["dup"])
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition metrics in the spirit of the Gopher quality
+    rules (Rae et al. 2021 §A1.1), adapted to token n-grams (the corpus is
+    line-less token text): fraction of tokens covered by the most frequent
+    bigram, fraction of trigram occurrences that are duplicates, distinct-
+    token fraction — all integer milli fixed-point so a DuckDB oracle
+    matches bit-for-bit.
+
+    Scale shape: one narrow map-only projection (sort + fold over each
+    row's own gram array), no explode, no shuffle. Documents are bounded
+    (chunk giant docs upstream); cost is O(tokens log tokens) per row,
+    all inside whole-stage codegen's ArrayAggregate.
+    """
+
+    def idiv(a: Column, b: Column) -> Column:
+        return F.floor(a / b).cast("long")
+
+    toks = _tokens(F.col(text_col))
+    ntok = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    # coverage of the most frequent REPEATED bigram — a bigram seen once is
+    # not repetition (a unique bigram in a 10-token doc would already cover
+    # 200 milli and false-flag every short clean document)
+    top_raw = _max_run(F.array_sort(_ngrams(toks, 2)))
+    top_bigram = F.when(top_raw >= 2, top_raw).otherwise(F.lit(0).cast("long"))
+    dup_tri = _dup_occurrences(F.array_sort(_ngrams(toks, 3)))
+    n_tri = F.greatest(ntok - 2, F.lit(0).cast("long"))
+
+    distinct_milli = F.when(ntok > 0, idiv(n_distinct * 1000, ntok)).otherwise(F.lit(0).cast("long"))
+    top_bigram_milli = F.when(ntok > 0, idiv(top_bigram * 2 * 1000, ntok)).otherwise(
+        F.lit(0).cast("long")
+    )
+    dup_tri_milli = F.when(n_tri > 0, idiv(dup_tri * 1000, n_tri)).otherwise(F.lit(0).cast("long"))
+
+    flagged = (
+        (top_bigram_milli > 180) | (dup_tri_milli > 600) | ((ntok >= 10) & (distinct_milli < 300))
+    )
+    return df.select(
+        F.col(id_col),
+        ntok.alias("ntok"),
+        distinct_milli.alias("distinct_milli"),
+        top_bigram_milli.alias("top_bigram_milli"),
+        dup_tri_milli.alias("dup_trigram_milli"),
+        flagged.cast("int").alias("flag_repetitive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram decontamination (train corpus vs held-out eval set)
+# ---------------------------------------------------------------------------
+
+DECONTAM_BROADCAST_ROW_LIMIT = 2_000_000
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_row_limit: int = DECONTAM_BROADCAST_ROW_LIMIT,
+    eval_gram_count: int | None = None,
+) -> DataFrame:
+    """Benchmark-decontamination: for every train document, count distinct
+    token ``n``-grams shared with the eval corpus and flag docs whose gram
+    coverage exceeds 10%. The standard pre-training hygiene step (e.g.
+    GPT-3 appendix C / PaLM §8): drop or down-weight training docs that
+    leak eval content.
+
+    Scale shape: distinct-gram explode of the train side (ONE scan — the
+    per-doc gram total rides along the exploded rows, so no second scan or
+    doc-keyed re-join), then an inner join on the gram string against the
+    eval corpus's distinct grams. Eval sets are benchmark-sized (1e4-1e7
+    grams), so the join is BROADCAST below ``broadcast_row_limit`` distinct
+    grams and falls back to a shuffled hash join above it (pass
+    ``eval_gram_count`` when known to skip the gate's count job) — the
+    identical crossover regime as the URL-seen operator (seen.py). Only
+    contaminated docs (>= 1 shared gram) are emitted.
+    """
+    garr = F.array_distinct(_ngrams(_tokens(F.col(text_col)), n))
+    train_grams = train.select(
+        F.col(id_col), F.size(garr).cast("long").alias("n_grams"), F.explode(garr).alias("g")
+    )
+    eval_grams = eval_df.select(
+        F.explode(F.array_distinct(_ngrams(_tokens(F.col(text_col)), n))).alias("g")
+    ).distinct()
+
+    n_eval = eval_gram_count if eval_gram_count is not None else eval_grams.count()
+    if n_eval <= broadcast_row_limit:
+        joined = train_grams.join(F.broadcast(eval_grams), "g")
+    else:
+        joined = train_grams.join(eval_grams.hint("shuffle_hash"), "g")
+
+    return (
+        joined.groupBy(id_col, "n_grams")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .withColumn("coverage_milli", F.floor(F.col("n_shared") * 1000 / F.col("n_grams")).cast("long"))
+        .withColumn("flag_contaminated", (F.col("coverage_milli") >= 100).cast("int"))
+        .select(id_col, "n_grams", "n_shared", "coverage_milli", "flag_contaminated")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concatenate-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+
+def add_global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    weight: Column,
+    out_col: str = "cum",
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Deterministic global running sum of ``weight`` in ``order_col``
+    order, without a global single-task window: two-level prefix sum.
+
+    Level 1: bucket = order_col div bucket_width (VALUE-based bucketing —
+    deterministic across re-evaluations, unlike repartitionByRange's
+    sampled boundaries) and a per-bucket window cumsum (shuffle keyed by
+    bucket). Level 2: per-bucket totals get their own cumulative offsets
+    via a window over the tiny bucket table (n_buckets rows — single-task
+    but trivially small), broadcast-joined back. No collect, no sampled
+    boundaries, fully in-plan; at 1000 executors each bucket is an
+    independent task and the offset table stays KB-sized.
+
+    Requires ``order_col`` to be unique non-negative integers (doc ids).
+    """
+    bucket = (F.col(order_col) / bucket_width).cast("long").alias("_bkt")
+    d = df.withColumn("_w", weight.cast("long")).withColumn("_bkt", bucket)
+    local = d.withColumn(
+        "_lcum",
+        F.sum("_w").over(Window.partitionBy("_bkt").orderBy(order_col)),
+    )
+    offsets = (
+        d.groupBy("_bkt")
+        .agg(F.sum("_w").alias("_btot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_btot").over(
+                    Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_bkt", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, (F.col("_off") + F.col("_lcum")).cast("long"))
+        .drop("_bkt", "_w", "_lcum", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_len: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1 << 16,
+) -> DataFrame:
+    """Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents are concatenated in ``id_col`` order into one token
+    stream and cut into fixed ``ctx_len`` windows; each document lands at
+    token offset ``tok_start`` spanning packs ``pack_first..pack_last``.
+
+    The output is the pack manifest a tokenizer/loader shards on: every
+    row knows its global coordinates, so downstream can
+    ``partitionBy(pack_first)`` and materialize training sequences without
+    any further global coordination. Built on :func:`add_global_cumsum`
+    (two-level prefix sum — no single-task global window, no collect).
+    """
+    ntok = F.size(_tokens(F.col(text_col))).cast("long")
+    d = df.select(F.col(id_col), ntok.alias("ntok")).where(F.col("ntok") > 0)
+    c = add_global_cumsum(d, id_col, F.col("ntok"), out_col="tok_end", bucket_width=bucket_width)
+    return c.select(
+        id_col,
+        "ntok",
+        (F.col("tok_end") - F.col("ntok")).alias("tok_start"),
+        F.floor((F.col("tok_end") - F.col("ntok")) / ctx_len).cast("long").alias("pack_first"),
+        F.floor((F.col("tok_end") - 1) / ctx_len).cast("long").alias("pack_last"),
+    ).withColumn(
+        "crosses_boundary", (F.col("pack_last") > F.col("pack_first")).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted source mixing (deterministic hash sampling)
+# ---------------------------------------------------------------------------
+
+
+def source_rate_milli(source: Column) -> Column:
+    """Per-source target sampling rate in milli (src0 -> 1000 ... srcN ->
+    1000 - 45*N, floored at 100): a deterministic stand-in for the
+    data-mixing weights a training run assigns to its sources."""
+    n = F.regexp_extract(source, r"(\d+)$", 1).cast("long")
+    return F.greatest(F.lit(1000).cast("long") - n * 45, F.lit(100).cast("long"))
+
+
+def weighted_sample(
+    df: DataFrame, source_col: str = "source", id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic weighted down-sampling for source mixing: keep a doc
+    iff the first 3 hex digits of md5('mix:'||doc_id) (uniform on 0..4095)
+    fall under the source's rate threshold. Reports per-source achieved
+    rates and surviving token mass.
+
+    Scale shape: the keep decision is a pure per-row Column (no shuffle,
+    no RNG state — reproducible across retries/cluster sizes, unlike
+    ``df.sample`` whose seed interacts with partitioning); the report is
+    one map-side-combinable groupBy over ~#sources keys.
+    """
+    h = F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
+    hexval = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    thr = F.floor(source_rate_milli(F.col(source_col)) * 4096 / 1000).cast("long")
+    keep = (hexval < thr).cast("int")
+    ntok = F.size(_tokens(F.col(text_col))).cast("long")
+    return (
+        df.select(F.col(source_col), keep.alias("_keep"), ntok.alias("_ntok"))
+        .groupBy(source_col)
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum("_keep").cast("long").alias("n_kept"),
+            F.sum(F.col("_keep") * F.col("_ntok")).cast("long").alias("kept_tokens"),
+        )
+        .withColumn("rate_milli", F.floor(F.col("n_kept") * 1000 / F.col("n_total")).cast("long"))
+    )

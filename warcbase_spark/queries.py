@@ -2567,6 +2567,167 @@ def html_remove_text(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline operators (operators/pipeline.py): repetition
+# quality, decontamination, sequence packing, weighted source mixing.
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+
+
+@query(
+    "quality_repetition",
+    f"""
+    WITH b2 AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS ntok FROM documents
+    ),
+    big AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+      FROM b2, LATERAL (SELECT unnest(range(1, ntok)) AS i) u WHERE ntok >= 2
+    ),
+    bigc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+    bigm AS (SELECT doc_id, max(c) AS mx FROM bigc GROUP BY 1),
+    tri AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM b2, LATERAL (SELECT unnest(range(1, ntok - 1)) AS i) u WHERE ntok >= 3
+    ),
+    tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+    trid AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup FROM tric GROUP BY 1),
+    m AS (
+      SELECT b2.doc_id, b2.ntok, len(list_distinct(b2.toks)) AS nd,
+             CASE WHEN coalesce(bigm.mx, 0) >= 2 THEN bigm.mx ELSE 0 END AS mx,
+             coalesce(trid.dup, 0) AS dup,
+             greatest(b2.ntok - 2, 0) AS n_tri
+      FROM b2 LEFT JOIN bigm USING (doc_id) LEFT JOIN trid USING (doc_id)
+    ),
+    s AS (
+      SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+        CAST(CASE WHEN ntok > 0 THEN (nd * 1000) // ntok ELSE 0 END AS BIGINT) AS distinct_milli,
+        CAST(CASE WHEN ntok > 0 THEN (mx * 2 * 1000) // ntok ELSE 0 END AS BIGINT) AS top_bigram_milli,
+        CAST(CASE WHEN n_tri > 0 THEN (dup * 1000) // n_tri ELSE 0 END AS BIGINT) AS dup_trigram_milli
+      FROM m
+    )
+    SELECT *, CAST(CASE WHEN top_bigram_milli > 180 OR dup_trigram_milli > 600
+                        OR (ntok >= 10 AND distinct_milli < 300)
+                   THEN 1 ELSE 0 END AS INT) AS flag_repetitive
+    FROM s
+    """,
+)
+def quality_repetition(spark, sf_dir):
+    """Gopher-style per-document repetition rules (Rae et al. 2021 §A1.1,
+    token-gram variant): top-bigram coverage, duplicate-trigram fraction,
+    distinct-token fraction — a map-only fold per row, zero shuffle (the
+    oracle recomputes via explode+groupBy; same semantics, different
+    algorithm). Extends the reference's quality surface past X8/X10."""
+    from warcbase_spark.operators.pipeline import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "decontam_eval3",
+    f"""
+    WITH b2 AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS ntok FROM documents
+    ),
+    tg AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        FROM b2, LATERAL (SELECT unnest(range(1, ntok - 1)) AS i) u WHERE ntok >= 3
+      ) GROUP BY doc_id, g
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+    ev AS (SELECT DISTINCT g FROM tg WHERE doc_id % 37 = 0),
+    sh AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM tg t JOIN ev USING (g) WHERE t.doc_id % 37 != 0 GROUP BY 1
+    )
+    SELECT s.doc_id, CAST(tot.n_grams AS BIGINT) AS n_grams,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST((s.n_shared * 1000) // tot.n_grams AS BIGINT) AS coverage_milli,
+           CAST(CASE WHEN (s.n_shared * 1000) // tot.n_grams >= 100 THEN 1 ELSE 0 END AS INT)
+             AS flag_contaminated
+    FROM sh s JOIN tot ON s.doc_id = tot.doc_id
+    """,
+)
+def decontam_eval3(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C shape): train docs
+    sharing token 3-grams with a held-out eval split (doc_id % 37 = 0),
+    with per-doc gram coverage. Broadcast gram join below 2M eval grams,
+    shuffled hash join above (operators/pipeline.py:decontaminate)."""
+    from warcbase_spark.operators.pipeline import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(d.where(F.col("doc_id") % 37 != 0), d.where(F.col("doc_id") % 37 == 0), n=3)
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH d AS (SELECT doc_id, len({_TOKS_SQL}) AS ntok FROM documents),
+    c AS (
+      SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+             sum(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS tok_end
+      FROM d WHERE ntok > 0
+    )
+    SELECT doc_id, ntok, CAST(tok_end - ntok AS BIGINT) AS tok_start,
+           CAST((tok_end - ntok) // 128 AS BIGINT) AS pack_first,
+           CAST((tok_end - 1) // 128 AS BIGINT) AS pack_last,
+           CAST(CASE WHEN (tok_end - 1) // 128 > (tok_end - ntok) // 128 THEN 1 ELSE 0 END AS INT)
+             AS crosses_boundary
+    FROM c
+    """,
+)
+def pack_sequences_q(spark, sf_dir):
+    """Concatenate-and-chunk sequence packing (GPT-style pretraining
+    layout): global token offsets per doc via a two-level prefix sum (no
+    single-task global window; operators/pipeline.py:add_global_cumsum),
+    ctx_len=128 pack coordinates. The oracle's plain window cumsum is the
+    single-node equivalent."""
+    from warcbase_spark.operators.pipeline import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), ctx_len=128, bucket_width=64)
+
+
+_HEXP = "(strpos('0123456789abcdef', substr(h,{i},1))-1)"
+
+
+@query(
+    "mix_weighted_sample",
+    f"""
+    WITH d AS (
+      SELECT source, md5('mix:' || CAST(doc_id AS VARCHAR)) AS h,
+             len({_TOKS_SQL}) AS ntok
+      FROM documents
+    ),
+    k AS (
+      SELECT source, ntok,
+        {_HEXP.format(i=1)}*256 + {_HEXP.format(i=2)}*16 + {_HEXP.format(i=3)} AS v,
+        greatest(1000 - 45 * CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT), 100) AS rate
+      FROM d
+    ),
+    kk AS (
+      SELECT source, ntok,
+             CASE WHEN v < (rate * 4096) // 1000 THEN 1 ELSE 0 END AS keep
+      FROM k
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(keep * ntok) AS BIGINT) AS kept_tokens,
+           CAST((sum(keep) * 1000) // count(*) AS BIGINT) AS rate_milli
+    FROM kk GROUP BY source
+    """,
+)
+def mix_weighted_sample(spark, sf_dir):
+    """Deterministic weighted source mixing: per-row md5 hash threshold
+    (reproducible across retries and cluster sizes, unlike df.sample),
+    per-source achieved rate + surviving token mass
+    (operators/pipeline.py:weighted_sample)."""
+    from warcbase_spark.operators.pipeline import weighted_sample
+
+    return weighted_sample(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering (see module docstring): the driver's CORRECTNESS
 # gate covers the first 50 registered queries only. Defer stable,
 # multiply-driver-green queries whose operator family keeps a stronger
@@ -2588,6 +2749,10 @@ _DEFERRED = [
     "lang_id_confusion",          # sibling: lang_id_trigram + lang_id_golden27 drive the same detect_language() on the same corpus
     "tpch_q6",                    # sibling: tpch_q1/q3/q5 (same scan+pushdown+agg stack); r01-r03 green, code unchanged
     "events_props_json",          # sibling: tweets_ingest (same JSON-parse util family X17-X20); r03 green, code unchanged
+    "multimodal_resize",          # sibling: multimodal_decode + image_dims_real (fake-decode path unchanged this round); r03 green
+    "url_history",                # sibling: domain_range_scan family — S9 sorted-key get; r01-r03 green, code unchanged
+    "site_links_rangejoin",       # sibling: adjacency/anchors_inverted cover G3's link extraction; J3 code unchanged; r01-r03 green
+    "extract_mentions_hashtags",  # sibling: extract_urls family (X4-X6 regexp_extract_all); code unchanged; r01-r03 green
 ]
 
 
