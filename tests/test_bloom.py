@@ -288,3 +288,19 @@ def test_cuckoo_cogrouped_probe_and_delete_parity(spark):
         .count()
     )
     assert gone == 0
+
+
+def test_cuckoo_params_power_of_two_validation():
+    """Hand-built CuckooParams must reject non-power-of-two shapes: the JVM
+    shard route pmod(raw_h1, n_shards) only agrees with the numpy route
+    mod(pmod(raw_h1, 2^62), n_shards) when n_shards divides 2^62."""
+    import pytest as _pytest
+
+    from warcbase_spark.operators.seen import CuckooParams
+
+    with _pytest.raises(ValueError):
+        CuckooParams(n_shards=10, buckets_per_shard=64)
+    with _pytest.raises(ValueError):
+        CuckooParams(n_shards=8, buckets_per_shard=48)
+    p = CuckooParams.size(10_000, n_shards=10)  # size() rounds up to 16
+    assert p.n_shards == 16

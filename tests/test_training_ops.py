@@ -571,3 +571,24 @@ def test_connected_components_labels_and_fixed_iters(spark):
     path = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "a long, b long")
     one = {r["node"]: r["label"] for r in connected_components(path, iters=1).collect()}
     assert one[3] == 2 and one[6] == 5 and one[1] == 1
+
+
+def test_ner_doc_path_preserves_case(spark):
+    """The document-granularity path must hand the model CASED text —
+    capitalization is the signal real NER models key on (only the
+    gazetteer token path lowercases, because its dictionary is
+    lowercase)."""
+    from warcbase_spark.operators.ner import extract_entities
+
+    def factory():
+        def classify_batch(texts):
+            return [
+                ["PERSON" if t[:1].isupper() else "O" for t in txt.split()]
+                for txt in texts
+            ]
+
+        return classify_batch
+
+    d = spark.createDataFrame([("0", "Barack  Obama visited paris")], ["doc_id", "text"])
+    rows = extract_entities(d, doc_classifier_factory=factory).collect()
+    assert {(r.entity_type, r.entity) for r in rows} == {("PERSON", "Barack Obama")}

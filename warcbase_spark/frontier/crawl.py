@@ -587,10 +587,16 @@ class FrontierCrawl:
                 if n == 0:
                     break
                 m = self.load_manifest()
-                self._commit(
-                    m["last_committed_round"], n,
-                    scheduled_delta=0, seen_rows_before=m.get("seen_rows"),
-                )
+                last = m["last_committed_round"]
+                # legacy manifests (no seen_rows): the correct total is
+                # count(_seen(last)) — _commit's own fallback counts
+                # _seen(last-1), which drops the last round's delta and
+                # would undersize every later bloom (same guard as
+                # recrawl() above)
+                srb = m.get("seen_rows")
+                if srb is None:
+                    srb = self._seen(last).count() if last >= 0 else 0
+                self._commit(last, n, scheduled_delta=0, seen_rows_before=srb)
             out.append(self.run_round(rnd))
             rnd += 1
         return out

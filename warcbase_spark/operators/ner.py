@@ -132,9 +132,6 @@ def merge_entity_runs(tokens: list[str], classify: Callable[[str], str]) -> list
     """Run-merging exactly as NER3Classifier.classify (scala:69-96): a
     buffer accumulates consecutive same-class tokens; the buffer commits
     when the class changes (and at end of input)."""
-    out: list[tuple[str, str]] = []
-    prev = "O"
-    buf: list[str] = []
     return merge_runs(tokens, [classify(tok) for tok in tokens])
 
 
@@ -192,7 +189,12 @@ def extract_entities(
                     if text is None:
                         continue
                     dids.append(did)
-                    norms.append(" ".join(str(text).lower().split()))
+                    # whitespace-normalize but keep CASE: real NER models
+                    # (spaCy et al.) are trained on cased text — lowercasing
+                    # here would strip the capitalization cues the model
+                    # keys on (the gazetteer token path below lowercases
+                    # because its dictionary is lowercase by construction)
+                    norms.append(" ".join(str(text).split()))
                 ids: list[str] = []
                 types: list[str] = []
                 ents: list[str] = []

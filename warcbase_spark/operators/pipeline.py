@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text: Column) -> Column:
-    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+    # the one whitespace-normalization (functions/text.normalize_ws) —
+    # _TOKS_SQL in queries.py mirrors this exact expression
+    from warcbase_spark.functions.text import normalize_ws
+
+    return F.split(normalize_ws(text), " ")
 
 
 def _ngrams(toks: Column, n: int) -> Column:

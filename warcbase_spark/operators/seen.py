@@ -237,6 +237,18 @@ class CuckooParams:
     slots: int = 4
     fp_bits: int = 16
 
+    def __post_init__(self) -> None:
+        # Both must be powers of two: buckets for the XOR partner index,
+        # n_shards so the JVM route pmod(raw_h1, n_shards) agrees with the
+        # numpy route mod(pmod(raw_h1, 2^62), n_shards) — they coincide
+        # exactly when n_shards divides 2^62. size() guarantees this; a
+        # hand-built CuckooParams must too, else probe lookups silently
+        # miss shards (false "fresh" answers).
+        for f in ("n_shards", "buckets_per_shard"):
+            v = getattr(self, f)
+            if v <= 0 or (v & (v - 1)) != 0:
+                raise ValueError(f"CuckooParams.{f} must be a power of two, got {v}")
+
     @classmethod
     def size(cls, n_expected: int, n_shards: int = 32, load: float = 0.7) -> "CuckooParams":
         n_shards = 1 << max(0, (n_shards - 1).bit_length())
