@@ -57,6 +57,9 @@ HEADLINE = [
     "mime_sniff",
     # round-4 operators
     "ann_ivf_batch",
+    "quality_repetition",
+    "pack_sequences",
+    "decontam_eval3",
 ]
 
 

@@ -95,3 +95,34 @@ def test_scheduler_broadcasts_politeness_and_winners(spark):
 def test_no_per_row_python_anywhere(spark, name):
     plan = plan_of(QUERIES[name](spark, SF))
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_seen_join_no_exchange_on_bucketed_side(spark):
+    """write_bucketed persists the seen set hash-bucketed+sorted; the
+    recurring candidate anti-join must plan with NO Exchange (and no Sort)
+    on the bucketed side — the amortized co-located-join layout for a seen
+    set probed by every crawl round."""
+    from pyspark.sql import functions as F
+
+    from warcbase_spark.operators.sinks import bucketed_anti_join, write_bucketed
+
+    seen = spark.range(20000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("url_key"), F.col("id").alias("first_round")
+    )
+    write_bucketed(seen, "seen_bucketed_testtbl", key="url_key", n_buckets=8)
+    cand = spark.range(3000).select(F.concat(F.lit("k"), F.col("id") * 9).alias("url_key"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = bucketed_anti_join(cand, "seen_bucketed_testtbl")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # exactly one Exchange: the candidate side shuffling INTO the
+        # table's bucketing; the bucketed scan itself never re-shuffles
+        assert plan.count("Exchange") == 1
+        # correctness: keys k0,k9,... up to id<20000 are seen; the rest fresh
+        expect = sum(1 for i in range(3000) if i * 9 >= 20000)
+        assert out.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS seen_bucketed_testtbl")

@@ -40,13 +40,22 @@ def _tokens(text: Column) -> Column:
 
 
 def _ngrams(toks: Column, n: int) -> Column:
-    """Token n-grams as space-joined strings; empty array when too short."""
-    ntok = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(0), ntok - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
-    )
-    return F.when(ntok >= n, grams).otherwise(F.array().cast("array<string>"))
+    """Token n-grams as space-joined strings; empty array when too short.
+
+    Built with ``zip_with`` over shifted ``slice``s — each input array is
+    evaluated ONCE per row. The obvious alternative
+    (``transform(sequence(...), i -> concat(element_at(toks, i+k)...))``)
+    re-evaluates the whole ``toks`` expression per ELEMENT per reference
+    (Catalyst HOF lambdas have no let-binding), which measured ~30×
+    slower on 100-token documents (57s → 2s for quality_repetition at
+    sf0.1)."""
+    length = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, F.lit(1), length)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, F.lit(k + 1), length), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return out
 
 
 def _max_run(sorted_arr: Column) -> Column:
@@ -82,7 +91,22 @@ def _dup_occurrences(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, acc0, step, lambda a: a["dup"])
 
 
-def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _with_min_partitions(df: DataFrame, min_partitions: int | None) -> DataFrame:
+    """Round-robin widen a too-narrow input (e.g. one small parquet file →
+    one task) so per-row CPU work parallelizes. At real scale the scan has
+    thousands of splits and this is a no-op — the repartition only fires
+    when the input has FEWER partitions than requested."""
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_partitions: int | None = None,
+) -> DataFrame:
     """Per-document repetition metrics in the spirit of the Gopher quality
     rules (Rae et al. 2021 §A1.1), adapted to token n-grams (the corpus is
     line-less token text): fraction of tokens covered by the most frequent
@@ -99,34 +123,43 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     def idiv(a: Column, b: Column) -> Column:
         return F.floor(a / b).cast("long")
 
+    df = _with_min_partitions(df, min_partitions)
     toks = _tokens(F.col(text_col))
-    ntok = F.size(toks).cast("long")
-    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    # stage 1: one fold per metric, each referenced exactly once below —
+    # keeping the expensive ArrayAggregate expressions single-reference
+    # bounds re-evaluation if CollapseProject inlines the projection
+    raw = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("ntok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("nd"),
+        _max_run(F.array_sort(_ngrams(toks, 2))).alias("top_raw"),
+        _dup_occurrences(F.array_sort(_ngrams(toks, 3))).alias("dup_tri"),
+    )
+    ntok = F.col("ntok")
     # coverage of the most frequent REPEATED bigram — a bigram seen once is
     # not repetition (a unique bigram in a 10-token doc would already cover
     # 200 milli and false-flag every short clean document)
-    top_raw = _max_run(F.array_sort(_ngrams(toks, 2)))
-    top_bigram = F.when(top_raw >= 2, top_raw).otherwise(F.lit(0).cast("long"))
-    dup_tri = _dup_occurrences(F.array_sort(_ngrams(toks, 3)))
+    top_bigram = F.when(F.col("top_raw") >= 2, F.col("top_raw")).otherwise(F.lit(0).cast("long"))
     n_tri = F.greatest(ntok - 2, F.lit(0).cast("long"))
-
-    distinct_milli = F.when(ntok > 0, idiv(n_distinct * 1000, ntok)).otherwise(F.lit(0).cast("long"))
-    top_bigram_milli = F.when(ntok > 0, idiv(top_bigram * 2 * 1000, ntok)).otherwise(
-        F.lit(0).cast("long")
-    )
-    dup_tri_milli = F.when(n_tri > 0, idiv(dup_tri * 1000, n_tri)).otherwise(F.lit(0).cast("long"))
-
-    flagged = (
-        (top_bigram_milli > 180) | (dup_tri_milli > 600) | ((ntok >= 10) & (distinct_milli < 300))
-    )
-    return df.select(
+    milli = raw.select(
         F.col(id_col),
-        ntok.alias("ntok"),
-        distinct_milli.alias("distinct_milli"),
-        top_bigram_milli.alias("top_bigram_milli"),
-        dup_tri_milli.alias("dup_trigram_milli"),
-        flagged.cast("int").alias("flag_repetitive"),
+        ntok,
+        F.when(ntok > 0, idiv(F.col("nd") * 1000, ntok)).otherwise(F.lit(0).cast("long")).alias(
+            "distinct_milli"
+        ),
+        F.when(ntok > 0, idiv(top_bigram * 2 * 1000, ntok)).otherwise(F.lit(0).cast("long")).alias(
+            "top_bigram_milli"
+        ),
+        F.when(n_tri > 0, idiv(F.col("dup_tri") * 1000, n_tri)).otherwise(
+            F.lit(0).cast("long")
+        ).alias("dup_trigram_milli"),
     )
+    flagged = (
+        (F.col("top_bigram_milli") > 180)
+        | (F.col("dup_trigram_milli") > 600)
+        | ((ntok >= 10) & (F.col("distinct_milli") < 300))
+    )
+    return milli.withColumn("flag_repetitive", flagged.cast("int"))
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +177,7 @@ def decontaminate(
     id_col: str = "doc_id",
     broadcast_row_limit: int = DECONTAM_BROADCAST_ROW_LIMIT,
     eval_gram_count: int | None = None,
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Benchmark-decontamination: for every train document, count distinct
     token ``n``-grams shared with the eval corpus and flag docs whose gram
@@ -151,33 +185,43 @@ def decontaminate(
     GPT-3 appendix C / PaLM §8): drop or down-weight training docs that
     leak eval content.
 
-    Scale shape: distinct-gram explode of the train side (ONE scan — the
-    per-doc gram total rides along the exploded rows, so no second scan or
-    doc-keyed re-join), then an inner join on the gram string against the
-    eval corpus's distinct grams. Eval sets are benchmark-sized (1e4-1e7
-    grams), so the join is BROADCAST below ``broadcast_row_limit`` distinct
-    grams and falls back to a shuffled hash join above it (pass
+    Scale shape: ONE distinct-gram evaluation per train row (a single
+    explode — the per-doc gram total is recovered as count(*) in the final
+    aggregate, so no second gram build, no doc-keyed re-join), then a LEFT
+    join on the gram string marking eval membership, then one
+    map-side-combinable groupBy(doc). Eval sets are benchmark-sized
+    (1e4-1e7 grams), so the join is BROADCAST below ``broadcast_row_limit``
+    distinct grams and falls back to a shuffled hash join above it (pass
     ``eval_gram_count`` when known to skip the gate's count job) — the
     identical crossover regime as the URL-seen operator (seen.py). Only
     contaminated docs (>= 1 shared gram) are emitted.
     """
-    garr = F.array_distinct(_ngrams(_tokens(F.col(text_col)), n))
-    train_grams = train.select(
-        F.col(id_col), F.size(garr).cast("long").alias("n_grams"), F.explode(garr).alias("g")
+    train = _with_min_partitions(train, min_partitions)
+    exploded = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_ngrams(_tokens(F.col(text_col)), n))).alias("g"),
     )
-    eval_grams = eval_df.select(
-        F.explode(F.array_distinct(_ngrams(_tokens(F.col(text_col)), n))).alias("g")
-    ).distinct()
+    eval_grams = (
+        eval_df.select(
+            F.explode(F.array_distinct(_ngrams(_tokens(F.col(text_col)), n))).alias("g")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
+    )
 
     n_eval = eval_gram_count if eval_gram_count is not None else eval_grams.count()
     if n_eval <= broadcast_row_limit:
-        joined = train_grams.join(F.broadcast(eval_grams), "g")
+        marked = exploded.join(F.broadcast(eval_grams), "g", "left")
     else:
-        joined = train_grams.join(eval_grams.hint("shuffle_hash"), "g")
+        marked = exploded.join(eval_grams.hint("shuffle_hash"), "g", "left")
 
     return (
-        joined.groupBy(id_col, "n_grams")
-        .agg(F.count("*").cast("long").alias("n_shared"))
+        marked.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .where(F.col("n_shared") >= 1)
         .withColumn("coverage_milli", F.floor(F.col("n_shared") * 1000 / F.col("n_grams")).cast("long"))
         .withColumn("flag_contaminated", (F.col("coverage_milli") >= 100).cast("int"))
         .select(id_col, "n_grams", "n_shared", "coverage_milli", "flag_contaminated")

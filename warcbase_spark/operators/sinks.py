@@ -66,3 +66,36 @@ def merged_json_file(df: DataFrame, path: str, order: list) -> str:
         os.remove(os.path.join(tmp, leftover))
     os.rmdir(tmp)
     return path
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 256,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ``df`` as a hash-BUCKETED, per-bucket-sorted catalog table
+    (``bucketBy(n, key).sortBy(key)``): the cluster-scale layout for any
+    dataset that is repeatedly joined on the same key across jobs — e.g.
+    the crawl's persistent URL-seen set, joined by every round's candidate
+    batch.
+
+    Why it matters at 100 TB: a bucketed scan carries its partitioning in
+    the catalog, so Catalyst plans the recurring join with NO Exchange on
+    the bucketed side (only the incoming batch shuffles, into the table's
+    bucketing) and, being pre-sorted, no per-join Sort either — the
+    table's one-time write cost amortizes over every subsequent round.
+    The parquet-dir round state used by the test-scale crawl keeps exact
+    resume semantics; this is the catalog-table variant of the same seen
+    set for deployments where rounds run as separate Spark apps.
+    """
+    df.write.bucketBy(n_buckets, key).sortBy(key).mode(mode).format("parquet").saveAsTable(table)
+
+
+def bucketed_anti_join(candidates: DataFrame, table: str, key: str = "url_key") -> DataFrame:
+    """Candidates NOT present in a bucketed membership table (the URL-seen
+    dedup shape): left_anti join that exploits the table's bucketing —
+    assert via plan that only the candidate side exchanges."""
+    spark = candidates.sparkSession
+    return candidates.join(spark.table(table).select(key), key, "left_anti")

@@ -2620,7 +2620,9 @@ def quality_repetition(spark, sf_dir):
     algorithm). Extends the reference's quality surface past X8/X10."""
     from warcbase_spark.operators.pipeline import repetition_stats
 
-    return repetition_stats(_t(spark, sf_dir, "documents"))
+    return repetition_stats(
+        _t(spark, sf_dir, "documents"), min_partitions=spark.sparkContext.defaultParallelism
+    )
 
 
 @query(
@@ -2657,7 +2659,12 @@ def decontam_eval3(spark, sf_dir):
     from warcbase_spark.operators.pipeline import decontaminate
 
     d = _t(spark, sf_dir, "documents")
-    return decontaminate(d.where(F.col("doc_id") % 37 != 0), d.where(F.col("doc_id") % 37 == 0), n=3)
+    return decontaminate(
+        d.where(F.col("doc_id") % 37 != 0),
+        d.where(F.col("doc_id") % 37 == 0),
+        n=3,
+        min_partitions=spark.sparkContext.defaultParallelism,
+    )
 
 
 @query(
