@@ -99,7 +99,9 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"OK   {name}: {len(sm)} rows")
-    print(f"\n{len(queries) - len(failed)}/{len(queries)} pass")
+    attempted = [n for n in queries if not only or n in only]
+    print(f"\n{len(attempted) - len(failed)}/{len(attempted)} pass"
+          + ("" if not only else f" (subset of {len(queries)} registered)"))
     return 1 if failed else 0
 
 

@@ -150,3 +150,22 @@ def test_weighted_sample_deterministic_and_bounded(spark):
     assert rates["src4"] < rates["src0"]
     for r in weighted_sample(df).collect():
         assert 0 <= r.n_kept <= r.n_total == 200
+
+
+def test_global_shuffle_is_permutation_and_deterministic(spark):
+    from warcbase_spark.operators.pipeline import global_shuffle
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(500)], ["doc_id", "text"])
+    a = {r.doc_id: r.shuffle_pos for r in global_shuffle(df).collect()}
+    b = {r.doc_id: r.shuffle_pos for r in global_shuffle(df).collect()}
+    assert a == b  # deterministic
+    assert sorted(a.values()) == list(range(1, 501))  # exact permutation
+    # matches the single-node definition: rank of md5('shuf0:'||id)
+    import hashlib
+
+    expect_order = sorted(range(500), key=lambda i: (hashlib.md5(f"shuf0:{i}".encode()).hexdigest(), i))
+    expect = {i: pos + 1 for pos, i in enumerate(expect_order)}
+    assert a == expect
+    # a different seed yields a different permutation
+    c = {r.doc_id: r.shuffle_pos for r in global_shuffle(df, seed="epoch1").collect()}
+    assert c != a and sorted(c.values()) == list(range(1, 501))

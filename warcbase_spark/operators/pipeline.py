@@ -354,3 +354,53 @@ def weighted_sample(
         )
         .withColumn("rate_milli", F.floor(F.col("n_kept") * 1000 / F.col("n_total")).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic global shuffle (training-order permutation)
+# ---------------------------------------------------------------------------
+
+
+def global_shuffle(
+    df: DataFrame,
+    seed: str = "shuf0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every row its position in a deterministic pseudo-random
+    permutation (the training-order shuffle): order by
+    ``md5(seed || ':' || id)`` with the id as tie-break, positions 1..N.
+
+    Same reproducibility argument as :func:`weighted_sample` — the
+    permutation is a pure function of (seed, id), identical across
+    retries, partitionings, and cluster sizes, unlike ``orderBy(rand())``.
+
+    Scale shape: a global ``row_number`` without the single-task global
+    window — the hash's first byte is a uniform 256-way bucket, positions
+    are (tiny cumulative bucket offsets, broadcast-joined) + (per-bucket
+    window rank); each bucket is an independent task. Changing ``seed``
+    reshuffles every epoch.
+    """
+    h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+    d = df.withColumn("_h", h).withColumn(
+        "_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("long")
+    )
+    local = d.withColumn(
+        "_lpos", F.row_number().over(Window.partitionBy("_bkt").orderBy("_h", id_col))
+    )
+    offsets = (
+        d.groupBy("_bkt")
+        .agg(F.count("*").alias("_bn"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bn").over(Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("_bkt", "_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_bkt")
+        .withColumn("shuffle_pos", (F.col("_off") + F.col("_lpos")).cast("long"))
+        .drop("_h", "_bkt", "_lpos", "_off")
+    )

@@ -2734,6 +2734,29 @@ def mix_weighted_sample(spark, sf_dir):
     return weighted_sample(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "global_shuffle_pos",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuf0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def global_shuffle_pos(spark, sf_dir):
+    """Deterministic training-order permutation: global row_number over
+    md5(seed:id) WITHOUT a single-task global window — the hash's first
+    byte buckets 256 ways, per-bucket window ranks + broadcast cumulative
+    offsets (operators/pipeline.py:global_shuffle). Reproducible across
+    retries/cluster sizes unlike orderBy(rand()); reseeding reshuffles
+    per epoch. The oracle's plain window row_number is the single-node
+    equivalent."""
+    from warcbase_spark.operators.pipeline import global_shuffle
+
+    return global_shuffle(_t(spark, sf_dir, "documents")).select("doc_id", "shuffle_pos")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (see module docstring): the driver's CORRECTNESS
 # gate covers the first 50 registered queries only. Defer stable,
@@ -2760,6 +2783,7 @@ _DEFERRED = [
     "url_history",                # sibling: domain_range_scan family — S9 sorted-key get; r01-r03 green, code unchanged
     "site_links_rangejoin",       # sibling: adjacency/anchors_inverted cover G3's link extraction; J3 code unchanged; r01-r03 green
     "extract_mentions_hashtags",  # sibling: extract_urls family (X4-X6 regexp_extract_all); code unchanged; r01-r03 green
+    "anchor_count_nested",        # sibling: count_items_domain family (A1/A8 count_items operator); code unchanged; r02-r03 green
 ]
 
 
