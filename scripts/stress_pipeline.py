@@ -1,0 +1,117 @@
+"""Scale stress for the training-data pipeline operators: synthesize a
+1M-document corpus IN-PLAN (no files, fully deterministic) and run
+repetition stats, decontamination, sequence packing, global shuffle, and
+weighted sampling end-to-end at local[32], printing one JSON line of
+wall-clocks + sanity counts.
+
+This is the 100×-scale-behavior evidence for operators whose oracle runs
+at sf0.01 (500 docs): same plans, 2000× the rows, no driver collects, no
+single-task stages (pack/shuffle bucket counts chosen so every stage is
+partition-parallel).
+
+Usage: python scripts/stress_pipeline.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from warcbase_spark.session import get_spark  # noqa: E402
+
+
+def synth_docs(spark, n: int):
+    """Deterministic in-plan corpus: ~20-50 tokens/doc from a 50-word
+    vocab (dense enough that trigrams collide across docs, exercising the
+    decontamination join and repetition folds realistically)."""
+    d = spark.range(n).withColumnRenamed("id", "doc_id")
+    ntok = (20 + F.pmod(F.col("doc_id"), F.lit(30))).cast("int")
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), ntok),
+            lambda i: F.concat(
+                F.lit("w"), F.pmod(F.xxhash64(F.col("doc_id") * 1000 + i), F.lit(50))
+            ),
+        ),
+    )
+    src = F.concat(F.lit("src"), F.pmod(F.col("doc_id"), F.lit(20)))
+    return d.select("doc_id", text.alias("text"), src.alias("source"))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="stress_pipeline", master=f"local[{cpus}]")
+
+    from warcbase_spark.operators.pipeline import (
+        decontaminate,
+        global_shuffle,
+        pack_sequences,
+        repetition_stats,
+        weighted_sample,
+    )
+
+    docs = synth_docs(spark, n).repartition(cpus * 4)
+    # materialize once so each operator's timing excludes corpus synthesis
+    docs = docs.localCheckpoint(eager=True)
+
+    out: dict = {"n_docs": n, "cpus": cpus}
+
+    t0 = time.monotonic()
+    rep = repetition_stats(docs)
+    n_flagged = rep.where("flag_repetitive = 1").count()
+    out["repetition_sec"] = round(time.monotonic() - t0, 2)
+    out["repetition_flagged"] = n_flagged
+
+    t0 = time.monotonic()
+    dc = decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0), docs.where(F.col("doc_id") % 97 == 0), n=3
+    )
+    out["decontam_rows"] = dc.count()
+    out["decontam_sec"] = round(time.monotonic() - t0, 2)
+
+    t0 = time.monotonic()
+    p = pack_sequences(docs, ctx_len=2048, bucket_width=8192)
+    agg = p.agg(
+        F.count("*").alias("rows"),
+        F.max("tok_start").alias("max_start"),
+        F.sum("crosses_boundary").alias("crossers"),
+        F.max("pack_last").alias("n_packs"),
+    ).collect()[0]
+    out["pack_sec"] = round(time.monotonic() - t0, 2)
+    out["pack_rows"] = agg["rows"]
+    out["pack_n_packs"] = int(agg["n_packs"]) + 1
+    out["pack_crossers"] = int(agg["crossers"])
+
+    t0 = time.monotonic()
+    sh = global_shuffle(docs)
+    mm = sh.agg(
+        F.count("*").alias("rows"),
+        F.min("shuffle_pos").alias("lo"),
+        F.max("shuffle_pos").alias("hi"),
+        F.countDistinct("shuffle_pos").alias("nd"),
+    ).collect()[0]
+    out["shuffle_sec"] = round(time.monotonic() - t0, 2)
+    assert (mm["lo"], mm["hi"], mm["nd"]) == (1, n, n), "not a permutation!"
+    out["shuffle_is_permutation"] = True
+
+    t0 = time.monotonic()
+    ws = weighted_sample(docs)
+    out["sample_sources"] = ws.count()
+    out["sample_sec"] = round(time.monotonic() - t0, 2)
+
+    total_tok = p.agg(F.sum("ntok")).collect()[0][0]
+    out["total_tokens"] = int(total_tok)
+    out["repetition_docs_per_sec"] = int(n / out["repetition_sec"])
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
