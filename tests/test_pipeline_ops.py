@@ -169,3 +169,29 @@ def test_global_shuffle_is_permutation_and_deterministic(spark):
     # a different seed yields a different permutation
     c = {r.doc_id: r.shuffle_pos for r in global_shuffle(df, seed="epoch1").collect()}
     assert c != a and sorted(c.values()) == list(range(1, 501))
+
+
+def test_pack_manifest_every_pack_full_but_last(spark):
+    """Concatenate-and-chunk guarantees every ctx window is exactly full
+    except the final one; doc counts per pack cover the whole corpus."""
+    from warcbase_spark.operators.pipeline import pack_sequences
+
+    rows = [(i, " ".join(f"t{j}" for j in range((i * 7) % 25 + 1))) for i in range(120)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = pack_sequences(df, ctx_len=32, bucket_width=11)
+    tok_end = F.col("tok_start") + F.col("ntok")
+    x = p.select(
+        "tok_start", tok_end.alias("tok_end"),
+        F.explode(F.sequence("pack_first", "pack_last")).alias("pack_id"),
+    )
+    in_pack = F.least(F.col("tok_end"), (F.col("pack_id") + 1) * 32) - F.greatest(
+        F.col("tok_start"), F.col("pack_id") * 32
+    )
+    m = sorted(
+        x.groupBy("pack_id").agg(F.sum(in_pack).alias("n_tokens")).collect(),
+        key=lambda r: r.pack_id,
+    )
+    total = sum(len(t.split()) for _, t in rows)
+    assert [r.pack_id for r in m] == list(range(len(m)))
+    assert all(r.n_tokens == 32 for r in m[:-1])
+    assert m[-1].n_tokens == total - 32 * (len(m) - 1)

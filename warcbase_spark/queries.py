@@ -2735,6 +2735,64 @@ def mix_weighted_sample(spark, sf_dir):
 
 
 @query(
+    "pack_manifest",
+    f"""
+    WITH d AS (SELECT doc_id, len({_TOKS_SQL}) AS ntok FROM documents),
+    c AS (
+      SELECT doc_id, CAST(ntok AS BIGINT) AS ntok,
+             sum(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS tok_end
+      FROM d WHERE ntok > 0
+    ),
+    e AS (
+      SELECT doc_id, ntok, tok_end - ntok AS tok_start, tok_end,
+             CAST((tok_end - ntok) // 128 AS BIGINT) AS pf,
+             CAST((tok_end - 1) // 128 AS BIGINT) AS pl
+      FROM c
+    ),
+    x AS (
+      SELECT e.*, i AS pack_id
+      FROM e, LATERAL (SELECT unnest(range(pf, pl + 1)) AS i) u
+    )
+    SELECT CAST(pack_id AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(least(tok_end, (pack_id + 1) * 128)
+                    - greatest(tok_start, pack_id * 128)) AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN sum(least(tok_end, (pack_id + 1) * 128)
+                             - greatest(tok_start, pack_id * 128)) = 128
+                THEN 1 ELSE 0 END AS INT) AS full
+    FROM x GROUP BY pack_id
+    """,
+)
+def pack_manifest(spark, sf_dir):
+    """Per-pack shard manifest over pack_sequences' coordinates: which
+    ctx-window holds how many docs/tokens and whether it is exactly full
+    (every pack except the final one must be). This is the view a training
+    loader partitions on — downstream writes partitionBy(pack_id) with no
+    further global coordination."""
+    from warcbase_spark.operators.pipeline import pack_sequences
+
+    p = pack_sequences(_t(spark, sf_dir, "documents"), ctx_len=128, bucket_width=64)
+    tok_end = F.col("tok_start") + F.col("ntok")
+    x = p.select(
+        "tok_start",
+        tok_end.alias("tok_end"),
+        F.explode(F.sequence("pack_first", "pack_last")).alias("pack_id"),
+    )
+    in_pack = F.least(F.col("tok_end"), (F.col("pack_id") + 1) * 128) - F.greatest(
+        F.col("tok_start"), F.col("pack_id") * 128
+    )
+    return (
+        x.groupBy("pack_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(in_pack).cast("long").alias("n_tokens"),
+        )
+        .withColumn("full", (F.col("n_tokens") == 128).cast("int"))
+    )
+
+
+@query(
     "global_shuffle_pos",
     """
     SELECT doc_id,
@@ -2784,6 +2842,7 @@ _DEFERRED = [
     "site_links_rangejoin",       # sibling: adjacency/anchors_inverted cover G3's link extraction; J3 code unchanged; r01-r03 green
     "extract_mentions_hashtags",  # sibling: extract_urls family (X4-X6 regexp_extract_all); code unchanged; r01-r03 green
     "anchor_count_nested",        # sibling: count_items_domain family (A1/A8 count_items operator); code unchanged; r02-r03 green
+    "embedding_topk_cosine",      # sibling: ann_lsh_topk / ann_ivf_topk / ann_ivf_batch (3 stronger ANN siblings in-window); code unchanged; r01-r03 green
 ]
 
 
