@@ -17,7 +17,7 @@ SHOW = [
     "site_links_rangejoin", "multimodal_decode", "image_dims_real",
     "dedup_winnow", "ann_ivf_topk", "dedup_simhash",
     "ann_ivf_batch", "quality_repetition", "decontam_eval3",
-    "pack_sequences", "mix_weighted_sample", "global_shuffle_pos",
+    "pack_sequences", "pack_manifest", "mix_weighted_sample", "global_shuffle_pos",
 ]
 
 

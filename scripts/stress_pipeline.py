@@ -87,6 +87,7 @@ def main() -> None:
     ).collect()[0]
     out["pack_sec"] = round(time.monotonic() - t0, 2)
     out["pack_rows"] = agg["rows"]
+    out["pack_max_start"] = int(agg["max_start"])
     out["pack_n_packs"] = int(agg["n_packs"]) + 1
     out["pack_crossers"] = int(agg["crossers"])
 

@@ -169,6 +169,10 @@ def test_global_shuffle_is_permutation_and_deterministic(spark):
     # a different seed yields a different permutation
     c = {r.doc_id: r.shuffle_pos for r in global_shuffle(df, seed="epoch1").collect()}
     assert c != a and sorted(c.values()) == list(range(1, 501))
+    # prefix_len (bucket count) never changes the permutation
+    for pl in (1, 3, 4):
+        d = {r.doc_id: r.shuffle_pos for r in global_shuffle(df, prefix_len=pl).collect()}
+        assert d == a, f"prefix_len={pl}"
 
 
 def test_pack_manifest_every_pack_full_but_last(spark):

@@ -117,9 +117,12 @@ def test_bucketed_seen_join_no_exchange_on_bucketed_side(spark):
         out = bucketed_anti_join(cand, "seen_bucketed_testtbl")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan
-        # exactly one Exchange: the candidate side shuffling INTO the
-        # table's bucketing; the bucketed scan itself never re-shuffles
+        # exactly one Exchange AND one Sort: the candidate side shuffling
+        # (and sorting) INTO the table's bucketing; the bucketed scan is
+        # pre-bucketed AND pre-sorted (write_bucketed repartitions to one
+        # file per bucket, which the outputOrdering flag requires)
         assert plan.count("Exchange") == 1
+        assert plan.count("Sort [") == 1
         # correctness: keys k0,k9,... up to id<20000 are seen; the rest fresh
         expect = sum(1 for i in range(3000) if i * 9 >= 20000)
         assert out.count() == expect

@@ -365,6 +365,7 @@ def global_shuffle(
     df: DataFrame,
     seed: str = "shuf0",
     id_col: str = "doc_id",
+    prefix_len: int = 2,
 ) -> DataFrame:
     """Assign every row its position in a deterministic pseudo-random
     permutation (the training-order shuffle): order by
@@ -375,14 +376,20 @@ def global_shuffle(
     retries, partitionings, and cluster sizes, unlike ``orderBy(rand())``.
 
     Scale shape: a global ``row_number`` without the single-task global
-    window — the hash's first byte is a uniform 256-way bucket, positions
-    are (tiny cumulative bucket offsets, broadcast-joined) + (per-bucket
-    window rank); each bucket is an independent task. Changing ``seed``
+    window — the hash's first ``prefix_len`` hex chars are a uniform
+    ``16^prefix_len``-way bucket (bucket order == hash order, since the
+    bucket is a hash prefix), positions are (tiny cumulative bucket
+    offsets, broadcast-joined) + (per-bucket window rank); each bucket is
+    an independent task. Size ``prefix_len`` so a bucket's rows fit one
+    task: 2 (256 buckets) for up to ~10^8 rows, 4 (65,536) at 10^10+ —
+    the offsets table stays KB-to-MB-sized either way. Changing ``seed``
     reshuffles every epoch.
     """
+    if not 1 <= prefix_len <= 8:
+        raise ValueError(f"prefix_len must be in 1..8, got {prefix_len}")
     h = F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
     d = df.withColumn("_h", h).withColumn(
-        "_bkt", F.conv(F.substring("_h", 1, 2), 16, 10).cast("long")
+        "_bkt", F.conv(F.substring("_h", 1, prefix_len), 16, 10).cast("long")
     )
     local = d.withColumn(
         "_lpos", F.row_number().over(Window.partitionBy("_bkt").orderBy("_h", id_col))

@@ -89,8 +89,23 @@ def write_bucketed(
     The parquet-dir round state used by the test-scale crawl keeps exact
     resume semantics; this is the catalog-table variant of the same seen
     set for deployments where rounds run as separate Spark apps.
+
+    The pre-write ``repartition(n_buckets, key)`` is load-bearing: Spark
+    only honors ``sortBy`` metadata at read time when each bucket is ONE
+    file, and bucketBy writes one file per (task × bucket). Spark's
+    repartition hash is the same Murmur3-pmod used for bucket assignment,
+    so after it every task holds exactly one bucket — without it a
+    4-partition write yields 4 files/bucket and every later join silently
+    re-Sorts the whole table (verified by plan probe).
     """
-    df.write.bucketBy(n_buckets, key).sortBy(key).mode(mode).format("parquet").saveAsTable(table)
+    (
+        df.repartition(n_buckets, F.col(key))
+        .write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
 
 
 def bucketed_anti_join(candidates: DataFrame, table: str, key: str = "url_key") -> DataFrame:

@@ -2841,7 +2841,7 @@ _DEFERRED = [
     "url_history",                # sibling: domain_range_scan family — S9 sorted-key get; r01-r03 green, code unchanged
     "site_links_rangejoin",       # sibling: adjacency/anchors_inverted cover G3's link extraction; J3 code unchanged; r01-r03 green
     "extract_mentions_hashtags",  # sibling: extract_urls family (X4-X6 regexp_extract_all); code unchanged; r01-r03 green
-    "anchor_count_nested",        # sibling: count_items_domain family (A1/A8 count_items operator); code unchanged; r02-r03 green
+    "mime_histogram",             # sibling: valid_html_by_date (same keep-DSL filter stack) + mime_sniff (X12 detection); code unchanged; r01-r03 green
     "embedding_topk_cosine",      # sibling: ann_lsh_topk / ann_ivf_topk / ann_ivf_batch (3 stronger ANN siblings in-window); code unchanged; r01-r03 green
 ]
 
