@@ -97,6 +97,26 @@ def test_no_per_row_python_anywhere(spark, name):
     assert "BatchEvalPython" not in plan
 
 
+def test_url_dictionary_no_single_task_window(spark):
+    """A10 dense-id assignment must NOT plan a partition-less WindowExec —
+    the reference's 1-reducer FST funnel (UrlMappingMapReduceBuilder.java:254)
+    that add_global_seq exists to replace. The plan must instead show a
+    range repartition (parallel sort) and zero Window operators."""
+    df = QUERIES["url_dictionary"](spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan
+    # the range-sorted intermediate is localCheckpoint'ed (lineage truncated
+    # so counts-pass and stamp-pass see identical row placement), so the
+    # final plan reads the checkpoint RDD rather than showing the
+    # rangepartitioning exchange — assert that shape
+    assert "Scan ExistingRDD" in plan
+    # ids are a dense 1..N permutation in url_key order
+    rows = df.orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(1, len(rows) + 1))
+    keys = [r["url_key"] for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_bucketed_seen_join_no_exchange_on_bucketed_side(spark):
     """write_bucketed persists the seen set hash-bucketed+sorted; the
     recurring candidate anti-join must plan with NO Exchange (and no Sort)
@@ -129,3 +149,36 @@ def test_bucketed_seen_join_no_exchange_on_bucketed_side(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS seen_bucketed_testtbl")
+
+
+def test_bucketed_guard_refuses_multi_file_buckets(spark):
+    """Negative guard for the session-wide legacy outputOrdering flag: a
+    bucketed table where some bucket has >1 file (here: a raw bucketBy
+    write from 4 input partitions, skipping write_bucketed's repartition)
+    is NOT globally sorted per bucket — a sort-merge join trusting the
+    flag would be silently WRONG. bucketed_anti_join must refuse it, and
+    write_bucketed must refuse mode='append' (each append adds a file per
+    bucket)."""
+    import pytest as _pytest
+
+    from warcbase_spark.operators.sinks import bucketed_anti_join, write_bucketed
+
+    seen = spark.range(8000).repartition(4).select(
+        F.concat(F.lit("k"), F.col("id")).alias("url_key")
+    )
+    spark.sql("DROP TABLE IF EXISTS seen_multifile_testtbl")
+    (
+        seen.write.bucketBy(4, "url_key")
+        .sortBy("url_key")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("seen_multifile_testtbl")
+    )
+    cand = spark.range(10).select(F.concat(F.lit("k"), F.col("id")).alias("url_key"))
+    try:
+        with _pytest.raises(AssertionError, match="one-file-per-bucket"):
+            bucketed_anti_join(cand, "seen_multifile_testtbl")
+        with _pytest.raises(ValueError, match="overwrite"):
+            write_bucketed(seen, "seen_multifile_testtbl", key="url_key", mode="append")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_multifile_testtbl")

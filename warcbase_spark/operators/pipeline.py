@@ -124,6 +124,11 @@ def repetition_stats(
         return F.floor(a / b).cast("long")
 
     df = _with_min_partitions(df, min_partitions)
+    # NULL text would make ntok NULL (size(split(NULL)) is NULL) while the
+    # milli columns fall to their otherwise(0) branch — an asymmetric
+    # NULL/0 row. Coalesce to '' so NULL documents behave exactly like
+    # empty ones on both engines.
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     toks = _tokens(F.col(text_col))
     # stage 1: one fold per metric, each referenced exactly once below —
     # keeping the expensive ArrayAggregate expressions single-reference
@@ -209,7 +214,13 @@ def decontaminate(
         .withColumn("_hit", F.lit(1).cast("long"))
     )
 
-    n_eval = eval_gram_count if eval_gram_count is not None else eval_grams.count()
+    if eval_gram_count is not None:
+        n_eval = eval_gram_count
+    else:
+        # the gate needs a count and the join needs the same rows — persist
+        # so the eval-side explode+distinct runs ONCE, not once per use
+        eval_grams = eval_grams.localCheckpoint(eager=False)
+        n_eval = eval_grams.count()
     if n_eval <= broadcast_row_limit:
         marked = exploded.join(F.broadcast(eval_grams), "g", "left")
     else:
@@ -326,6 +337,18 @@ def source_rate_milli(source: Column) -> Column:
     return F.greatest(F.lit(1000).cast("long") - n * 45, F.lit(100).cast("long"))
 
 
+def weighted_keep(source: Column, doc_id: Column) -> Column:
+    """The per-row keep decision behind :func:`weighted_sample` as a
+    boolean Column: keep iff the first 3 hex digits of md5('mix:'||doc_id)
+    (uniform on 0..4095) fall under the source's rate threshold. Pure
+    function of (source, id) — no shuffle, no RNG state, reproducible
+    across retries/cluster sizes."""
+    h = F.md5(F.concat(F.lit("mix:"), doc_id.cast("string")))
+    hexval = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    thr = F.floor(source_rate_milli(source) * 4096 / 1000).cast("long")
+    return hexval < thr
+
+
 def weighted_sample(
     df: DataFrame, source_col: str = "source", id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -339,10 +362,7 @@ def weighted_sample(
     ``df.sample`` whose seed interacts with partitioning); the report is
     one map-side-combinable groupBy over ~#sources keys.
     """
-    h = F.md5(F.concat(F.lit("mix:"), F.col(id_col).cast("string")))
-    hexval = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
-    thr = F.floor(source_rate_milli(F.col(source_col)) * 4096 / 1000).cast("long")
-    keep = (hexval < thr).cast("int")
+    keep = weighted_keep(F.col(source_col), F.col(id_col)).cast("int")
     ntok = F.size(_tokens(F.col(text_col))).cast("long")
     return (
         df.select(F.col(source_col), keep.alias("_keep"), ntok.alias("_ntok"))

@@ -97,7 +97,20 @@ def write_bucketed(
     so after it every task holds exactly one bucket — without it a
     4-partition write yields 4 files/bucket and every later join silently
     re-Sorts the whole table (verified by plan probe).
+
+    ``mode`` accepts only ``overwrite``: an append writes a SECOND file per
+    bucket (verified empirically — 2 appends × 4 buckets → 8 files), which
+    silently forfeits the sort-free join this function exists to provide
+    (results stay correct, but every later join re-Sorts the full table
+    under the legacy outputOrdering flag). Growing a bucketed set is a
+    read-union-rewrite (the crawl loop's seen-set commit does exactly
+    this); a true incremental layout needs per-bucket rewrite, not append.
     """
+    if mode != "overwrite":
+        raise ValueError(
+            f"write_bucketed(mode={mode!r}): only 'overwrite' preserves the "
+            "one-file-per-bucket invariant; append breaks the sort-free join"
+        )
     (
         df.repartition(n_buckets, F.col(key))
         .write.bucketBy(n_buckets, key)
@@ -108,9 +121,44 @@ def write_bucketed(
     )
 
 
+def assert_one_file_per_bucket(spark, table: str) -> None:
+    """Read-side guard for the session-wide
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` flag
+    (session.py): that flag tells Catalyst every bucketed scan is sorted,
+    which is only TRUE when each bucket is one file (write_bucketed's
+    invariant). A multi-file bucket written by any other path would make a
+    sort-merge join silently WRONG, not slow — so fail loudly here instead.
+    Cost: one catalog file listing (driver-side, no Spark job)."""
+    import collections
+    import re
+
+    location = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .where(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    path = location.removeprefix("file:")
+    per_bucket: dict[int, int] = collections.defaultdict(int)
+    for fname in os.listdir(path):
+        m = re.match(r"part-\d+-[0-9a-f-]+_(\d+)", fname)
+        if m:
+            per_bucket[int(m.group(1))] += 1
+    bad = {b: c for b, c in per_bucket.items() if c > 1}
+    if bad:
+        raise AssertionError(
+            f"bucketed table {table} violates the one-file-per-bucket "
+            f"invariant (buckets with >1 file: {bad}); with the legacy "
+            "outputOrdering flag set a sort-merge join on it would return "
+            "WRONG results — rewrite it via write_bucketed"
+        )
+
+
 def bucketed_anti_join(candidates: DataFrame, table: str, key: str = "url_key") -> DataFrame:
     """Candidates NOT present in a bucketed membership table (the URL-seen
     dedup shape): left_anti join that exploits the table's bucketing —
-    assert via plan that only the candidate side exchanges."""
+    assert via plan that only the candidate side exchanges. Validates the
+    one-file-per-bucket invariant first (see assert_one_file_per_bucket):
+    the sort-free plan is only CORRECT under that invariant."""
     spark = candidates.sparkSession
+    assert_one_file_per_bucket(spark, table)
     return candidates.join(spark.table(table).select(key), key, "left_anti")

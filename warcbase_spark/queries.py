@@ -297,10 +297,16 @@ def anchors_inverted(spark, sf_dir):
 )
 def url_dictionary(spark, sf_dir):
     """A10 FST-style dense id assignment: global sort + sequential ids
-    (UrlMappingBuilder.java:72,119-136) as a range-partitioned sort, not a
-    1-reducer funnel."""
+    (UrlMappingBuilder.java:72,119-136). The reference funnels this through
+    ONE reducer (UrlMappingMapReduceBuilder.java:254); a naive
+    row_number().over(Window.orderBy(...)) is the same funnel reborn. This
+    uses add_global_seq: range-partition + sort on url_key, stamp
+    monotonically_increasing_id, add broadcast per-partition offsets — the
+    sort stays parallel at 10^10 keys (scheduler.py:31-97)."""
+    from warcbase_spark.operators.scheduler import add_global_seq
+
     w = web_docs(spark, sf_dir).select("url_key").distinct()
-    return w.withColumn("id", F.row_number().over(Window.orderBy("url_key")))
+    return add_global_seq(w, ["url_key"], out_col="id")
 
 
 @query(
@@ -2823,27 +2829,45 @@ def global_shuffle_pos(spark, sf_dir):
 # driver evidence. Each deferral names its in-window sibling.
 # ---------------------------------------------------------------------------
 
-_DEFERRED = [
-    "pages_per_month",            # sibling: valid_html_by_date (same documents month/date agg); r01-r03 green
-    "top_domains",                # sibling: domain_links_monthly (same domain grouping + top-k shape); r01-r03 green
-    "extract_urls",               # sibling: extract_mentions_hashtags (same regexp_extract_all X4-X6 family); r01-r03 green
-    "date_granularities",         # sibling: valid_html_by_date (same X7 ExtractDate granularity split); r01-r03 green
-    "url_pattern_split",          # sibling: valid_html_by_date's keep/discard DSL is the same filter stack; r01-r03 green
-    "graph_degrees",              # sibling: adjacency + anchors_inverted (same J1 outer-join+fill); r01-r03 green
-    "events_hourly",              # sibling: events_sessions (same events scan + window aggs); r01-r03 green
-    "count_items_domain",         # sibling: anchor_count_nested (same count_items operator, nested variant); r01-r03 green
-    "pages_month_domain_having",  # sibling: domain_links_monthly (same month group-having shape); r01-r03 green
-    "domain_range_scan",          # sibling: url_history (same S9 sorted-key HBase-get emulation); r01-r03 green
-    "lang_id_confusion",          # sibling: lang_id_trigram + lang_id_golden27 drive the same detect_language() on the same corpus
-    "tpch_q6",                    # sibling: tpch_q1/q3/q5 (same scan+pushdown+agg stack); r01-r03 green, code unchanged
-    "events_props_json",          # sibling: tweets_ingest (same JSON-parse util family X17-X20); r03 green, code unchanged
-    "multimodal_resize",          # sibling: multimodal_decode + image_dims_real (fake-decode path unchanged this round); r03 green
-    "url_history",                # sibling: domain_range_scan family — S9 sorted-key get; r01-r03 green, code unchanged
-    "site_links_rangejoin",       # sibling: adjacency/anchors_inverted cover G3's link extraction; J3 code unchanged; r01-r03 green
-    "extract_mentions_hashtags",  # sibling: extract_urls family (X4-X6 regexp_extract_all); code unchanged; r01-r03 green
-    "mime_histogram",             # sibling: valid_html_by_date (same keep-DSL filter stack) + mime_sniff (X12 detection); code unchanged; r01-r03 green
-    "embedding_topk_cosine",      # sibling: ann_lsh_topk / ann_ivf_topk / ann_ivf_batch (3 stronger ANN siblings in-window); code unchanged; r01-r03 green
-]
+# Each deferral maps to its IN-WINDOW sibling — a query exercising the same
+# operator family that rides inside the 50-query gate this round. The
+# invariant (sibling exists, sibling is NOT itself deferred, window is
+# exactly 50) is enforced by tests/test_registry.py, not just by comment.
+#
+# r05 rotation: the r04-deferred set rotates back through the window over
+# r05/r06 so no query goes >2 rounds without driver evidence. Rotated IN
+# for r05 (last driver evidence r03): pages_per_month, top_domains,
+# date_granularities, url_pattern_split, graph_degrees, events_hourly,
+# count_items_domain, pages_month_domain_having, extract_mentions_hashtags,
+# url_history — the last two break r04's circular X4-X6 / S9 deferral
+# pairs. Deferred in their place: 11 queries ALL driver-green in r04
+# (fresh evidence) with unchanged code. The remaining 9 r04-deferred
+# queries (extract_urls … embedding_topk_cosine, grouped first below)
+# rotate in-window in r06.
+_DEFERRED: dict[str, str] = {
+    # --- r04-deferred, due back in-window r06 (last driver evidence r03) ---
+    "extract_urls": "extract_mentions_hashtags",  # X4-X6 regexp_extract_all family; sibling IN-WINDOW r05 (circularity broken)
+    "domain_range_scan": "url_history",           # S9 sorted-key HBase-get emulation; sibling IN-WINDOW r05 (circularity broken)
+    "lang_id_confusion": "lang_id_golden27",      # same detect_language() on the stronger golden corpus
+    "tpch_q6": "tpch_q1",                         # same TPC-H scan+pushdown+agg stack
+    "events_props_json": "tweets_ingest",         # same JSON-parse util family X17-X20
+    "multimodal_resize": "multimodal_decode",     # same fake-decode mapInPandas path
+    "site_links_rangejoin": "adjacency",          # G3's link extraction; J3 broadcast range join unchanged
+    "mime_histogram": "mime_sniff",               # X12 detection + keep-DSL filter stack
+    "embedding_topk_cosine": "ann_ivf_batch",     # 2 stronger ANN siblings remain in-window
+    # --- deferred fresh for r05: all driver-green in r04, code unchanged ---
+    "pagerank5": "pagerank_pregel",               # G5 fixed-iteration PageRank; pregel parity variant is the stronger sibling
+    "pagerank_tol": "pagerank_pregel",            # global-tol PageRank; pregel per-vertex convergence subsumes it
+    "ann_ivf_topk": "ann_ivf_batch",              # single-query IVF; the batch variant is the strictly stronger plan
+    "html_image_links": "html_extract_links",     # same X2/X3 raw-HTML parser
+    "html_remove_text": "html_boilerplate",       # same htmlparse text-extraction family (X8/X10)
+    "tpch_q5_region": "tpch_q3_top10",            # same multi-join TPC-H stack
+    "tpch_q14_promo": "tpch_q1",                  # same lineitem scan+agg shape
+    "lang_id_trigram": "lang_id_golden27",        # same trigram classifier, golden corpus is stronger
+    "dedup_ngram_jaccard": "dedup_minhash_lsh",   # same shingle-pair dedup family, MinHash is the scale path
+    "image_dims_real": "multimodal_decode",       # same X14 pure-bytes header parse
+    "events_sessions": "events_hourly",           # same events scan + window-agg family; sibling rotated IN r05
+}
 
 
 def _apply_driver_window_order() -> None:
