@@ -26,10 +26,12 @@ from pyspark.sql import functions as F  # noqa: E402
 from warcbase_spark.session import get_spark  # noqa: E402
 
 
-def synth_docs(spark, n: int):
-    """Deterministic in-plan corpus: ~20-50 tokens/doc from a 50-word
-    vocab (dense enough that trigrams collide across docs, exercising the
-    decontamination join and repetition folds realistically)."""
+def synth_docs(spark, n: int, vocab: int = 50):
+    """Deterministic in-plan corpus: ~20-50 tokens/doc. The default 50-word
+    vocab is dense enough that trigrams collide across docs (exercising the
+    decontamination join and repetition folds realistically); pass a wide
+    ``vocab`` for web-like low-collision text (the e2e chain needs a corpus
+    where decontamination does NOT wipe out the training side)."""
     d = spark.range(n).withColumnRenamed("id", "doc_id")
     ntok = (20 + F.pmod(F.col("doc_id"), F.lit(30))).cast("int")
     text = F.concat_ws(
@@ -37,7 +39,7 @@ def synth_docs(spark, n: int):
         F.transform(
             F.sequence(F.lit(1), ntok),
             lambda i: F.concat(
-                F.lit("w"), F.pmod(F.xxhash64(F.col("doc_id") * 1000 + i), F.lit(50))
+                F.lit("w"), F.pmod(F.xxhash64(F.col("doc_id") * 1000 + i), F.lit(vocab))
             ),
         ),
     )
@@ -111,6 +113,32 @@ def main() -> None:
     total_tok = p.agg(F.sum("ntok")).collect()[0][0]
     out["total_tokens"] = int(total_tok)
     out["repetition_docs_per_sec"] = int(n / out["repetition_sec"])
+
+    # end-to-end composition: the whole chain (mix → decontam → exact dedup
+    # → minhash-CC keep-one → pack → shuffle) as ONE composed plan —
+    # proves the operators compose at 2000× the oracle scale
+    from warcbase_spark.operators.pipeline import training_pipeline
+
+    # wide-vocab corpus: on the 50-word corpus decontamination correctly
+    # flags ~every train doc (total gram collision), which would starve
+    # the downstream stages of input — web-like text doesn't collide so
+    wide = synth_docs(spark, n, vocab=200_000).repartition(cpus * 4)
+    wide = wide.localCheckpoint(eager=True)
+    t0 = time.monotonic()
+    e2e = training_pipeline(wide, eval_mod=97, ctx_len=2048, bucket_width=8192).collect()
+    out["e2e_sec"] = round(time.monotonic() - t0, 2)
+    out["e2e_sources"] = len(e2e)
+    out["e2e_docs"] = int(sum(r["n_docs"] for r in e2e))
+    out["e2e_tokens"] = int(sum(r["tokens"] for r in e2e))
+    # the shuffle checksum over ALL survivors must be N(N+1)/2 — the
+    # per-source sums partition a complete 1..N permutation
+    n_surv = out["e2e_docs"]
+    assert n_surv > 0, "e2e pipeline starved — no surviving documents"
+    assert sum(r["shuffle_checksum"] for r in e2e) == n_surv * (n_surv + 1) // 2, (
+        "e2e shuffle positions are not a complete permutation"
+    )
+    out["e2e_shuffle_permutation"] = True
+
     print(json.dumps(out))
 
 

@@ -156,7 +156,81 @@ def seen_recrawl_stress(n: int, n_hosts: int) -> None:
     print(json.dumps(out))
 
 
+def _zipf_candidates(spark, n: int, n_hosts: int, s: float = 1.1):
+    """Zipf(s)-distributed host assignment, fully in-plan: u ~ U[0,1) from
+    a hashed id, then the inverse continuous-CDF of the Zipf tail,
+    rank = (1 - u·(1 - N^(1-s)))^(1/(1-s)). At s=1.1/N=1e6 the hottest
+    host carries ~10% of all candidates with a heavy tail behind it — the
+    realistic crawl-frontier skew (vs the uniform mode's two fixed 20%
+    hot hosts over a flat tail)."""
+    u = F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000_000)) / 1e9
+    a = 1.0 - float(n_hosts) ** (1.0 - s)
+    rank = F.least(
+        F.greatest(F.floor(F.pow(1.0 - u * a, F.lit(1.0 / (1.0 - s)))), F.lit(1)),
+        F.lit(n_hosts),
+    ).cast("long")
+    host = F.concat(F.lit("z"), rank.cast("string"), F.lit(".org"))
+    return spark.range(n).select(
+        F.col("id"),
+        F.concat(F.lit("org."), host, F.lit("/p/"), F.col("id").cast("string")).alias("url_key"),
+        F.concat(F.lit("http://"), host, F.lit("/p/"), F.col("id").cast("string")).alias("url"),
+        host.alias("host"),
+        F.xxhash64("id").alias("url_hash"),
+        (F.col("id") % 3).cast("int").alias("priority"),
+    )
+
+
+def zipf_stress(n: int, n_hosts: int) -> None:
+    """VERDICT r4 #7: the politeness-window stress under a Zipf(1.1) host
+    distribution — the configuration that actually tests the salt-K choice
+    (scheduler.DEFAULT_SALT_K): the hottest host holds ~n/10 candidates, so
+    stage 1 must bound any single window task to ~|host|/K rows while the
+    heavy tail exercises millions of tiny windows simultaneously. Runs the
+    round through BOTH winner-join modes and checks sampled schedule
+    parity, exactly like the uniform stress."""
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(app_name="stress_politeness_zipf", master=f"local[{cpus}]")
+
+    cand = _zipf_candidates(spark, n, n_hosts).drop("id").localCheckpoint(eager=True)
+    top = (
+        cand.groupBy("host").count().orderBy(F.desc("count"), "host").limit(10).collect()
+    )
+    out: dict = {
+        "mode": "zipf", "s": 1.1, "n_candidates": n, "n_hosts": n_hosts, "cpus": cpus,
+        "hottest_host_share": round(top[0]["count"] / n, 4),
+        "top10_share": round(sum(r["count"] for r in top) / n, 4),
+    }
+    # explicit budgets for the two hottest ranks; heavy tail takes '*'
+    pol = spark.createDataFrame(
+        [("z1.org", 50_000), ("z2.org", 20_000), ("*", 3)], "host string, budget int"
+    )
+    probe_hosts = ["z1.org", "z7.org", "z12345.org", "z999999.org"]
+    sample = None
+    for mode, limit in (("shuffle_fallback", 1), ("broadcast", 1 << 40)):
+        t0 = time.monotonic()
+        sched, _spilled = schedule_round(cand, pol, broadcast_row_limit=limit)
+        n_sched = sched.count()
+        dt = time.monotonic() - t0
+        got = sorted(
+            (r["seq"], r["url_key"])
+            for r in sched.filter(F.col("host").isin(probe_hosts)).collect()
+        )
+        out[mode] = {"sec": round(dt, 2), "n_scheduled": n_sched,
+                     "scheduled_per_sec": round(n_sched / dt, 1)}
+        if sample is None:
+            sample = got
+        else:
+            out["sampled_parity"] = sample == got
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "zipf":
+        zipf_stress(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000,
+        )
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "seen":
         seen_recrawl_stress(
             int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000,

@@ -592,3 +592,51 @@ def test_ner_doc_path_preserves_case(spark):
     d = spark.createDataFrame([("0", "Barack  Obama visited paris")], ["doc_id", "text"])
     rows = extract_entities(d, doc_classifier_factory=factory).collect()
     assert {(r.entity_type, r.entity) for r in rows} == {("PERSON", "Barack Obama")}
+
+
+def test_minhash_fast_mode_parity(spark):
+    """hash_mode='fast' (xxhash64 longs, the production kernel) must
+    recover the same verified near-dup pairs as hash_mode='md5' (the
+    oracle-portable kernel) on a seeded corpus with planted near-dups.
+    Verification is exact Jaccard either way, so any mode difference can
+    only appear in candidate RECALL — assert both modes find every
+    planted pair and that the verified pair sets coincide here."""
+    from warcbase_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verified_jaccard,
+    )
+
+    # 60 unique docs + 15 planted near-dup pairs (one token differs)
+    base_rows = []
+    for i in range(60):
+        toks = [f"u{i}t{j}" for j in range(14)]
+        base_rows.append((f"u{i}", " ".join(toks)))
+    planted = set()
+    for i in range(15):
+        toks = [f"p{i}t{j}" for j in range(14)]
+        a, b = f"a{i}", f"b{i}"
+        base_rows.append((a, " ".join(toks)))
+        toks2 = list(toks)
+        toks2[7] = "CHANGED"
+        base_rows.append((b, " ".join(toks2)))
+        planted.add((a, b) if a < b else (b, a))
+    d = _docs(spark, base_rows)
+    sh = doc_shingles(d).cache()
+
+    def verified(mode):
+        sigs = minhash_signatures(sh, 8, hash_mode=mode)
+        if mode == "fast":
+            assert dict(sigs.dtypes)["sig0"] == "bigint"  # long sigs, no hex strings
+        pairs = lsh_candidate_pairs(sigs, 8, bucket_cap=200)
+        return {(r["a"], r["b"]) for r in verified_jaccard(pairs, sh, min_inter=3).collect()}
+
+    v_md5 = verified("md5")
+    v_fast = verified("fast")
+    assert planted <= v_md5
+    assert planted <= v_fast
+    assert v_md5 == v_fast
+
+    with pytest.raises(ValueError):
+        minhash_signatures(sh, 8, hash_mode="bogus")

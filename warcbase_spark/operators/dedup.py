@@ -53,16 +53,37 @@ def minhash_chunk(i: int, col: str = "sh") -> F.Column:
     return F.substring(F.md5(F.concat(F.lit(salt), F.col(col))), off, 8)
 
 
-def minhash_signatures(sh: DataFrame, n_hashes: int = 8) -> DataFrame:
-    """Per-doc minhash signature: sig_i = min over shingles of
-    minhash_chunk(i). Lexicographic min over hex strings = permutation
-    min-hash; all aggregates partial-combine map-side.
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 8, hash_mode: str = "md5"
+) -> DataFrame:
+    """Per-doc minhash signature: sig_i = min over shingles of a salted
+    hash of the shingle; all aggregates partial-combine map-side.
 
-    The two salted digests are PROJECTED once per shingle row before the
-    aggregate; each min() then reads a cheap substring of the digest
-    attribute. Inlining minhash_chunk(i) into the aggregates re-evaluates
-    md5 once per aggregate expression (Catalyst doesn't CSE across
-    aggregate buffers) — 8 digests/row instead of 2 for the same result."""
+    ``hash_mode='md5'`` (oracle mode): 8-hex-char chunks of two salted md5
+    digests — identical lowercase hex in Spark and DuckDB, so the oracle
+    matches bit-for-bit. The two digests are PROJECTED once per shingle
+    row before the aggregate; each min() then reads a cheap substring of
+    the digest attribute. Inlining minhash_chunk(i) into the aggregates
+    re-evaluates md5 once per aggregate expression (Catalyst doesn't CSE
+    across aggregate buffers) — 8 digests/row instead of 2.
+
+    ``hash_mode='fast'`` (engine mode): sig_i = min(xxhash64(seed_i, sh))
+    — long-typed signatures, no digest string materialization, no hex
+    substring; the production kernel when DuckDB portability isn't needed
+    (md5 costs a full digest + 32-char hex per shingle; xxhash64 is a few
+    integer rounds). Same banding/verification downstream — candidate
+    recall is statistically identical (both are uniform hash families)
+    and the verify step is exact Jaccard either way; parity is pinned by
+    test_minhash_fast_mode_parity on a planted-near-dup corpus.
+    """
+    if hash_mode == "fast":
+        aggs = [
+            F.min(F.xxhash64(F.lit(f"mh{i}"), F.col("sh"))).alias(f"sig{i}")
+            for i in range(n_hashes)
+        ]
+        return sh.groupBy("doc").agg(*aggs)
+    if hash_mode != "md5":
+        raise ValueError(f"hash_mode must be 'md5' or 'fast', got {hash_mode!r}")
     assert n_hashes <= 8
     digested = sh.select(
         "doc",

@@ -431,3 +431,90 @@ def global_shuffle(
         .withColumn("shuffle_pos", (F.col("_off") + F.col("_lpos")).cast("long"))
         .drop("_h", "_bkt", "_lpos", "_off")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training-data pipeline composition
+# ---------------------------------------------------------------------------
+
+
+def training_pipeline(
+    docs: DataFrame,
+    eval_mod: int = 37,
+    ctx_len: int = 128,
+    bucket_width: int = 1 << 16,
+    cc_iters: int = 8,
+) -> DataFrame:
+    """The full pretraining-data pipeline as ONE composed plan — the way a
+    real run chains the individually-verified operators:
+
+        weighted source mixing → benchmark decontamination → exact dedup
+        (keep min doc per md5(text)) → MinHash-LSH near-dup components
+        (keep min doc per component) → sequence packing → deterministic
+        global shuffle → per-source report.
+
+    Emits one row per source: surviving docs, token mass, pack-span rows,
+    and the shuffle-position checksum (sum of the survivors' permutation
+    positions — any divergence in ANY upstream stage changes it).
+
+    Composition is the surface this function exists to test: every stage
+    is green in isolation; chaining them exercises column contracts,
+    re-used shingle normalization, and that no stage forces a driver
+    round-trip beyond the documented scalar gates (decontaminate's
+    broadcast gate count, the components loop counter). Scale shape is
+    inherited stage-by-stage: per-row keep Column, gated gram join,
+    bucketed LSH with hot-bucket guard, fixed-iteration label propagation,
+    two-level prefix sums — no single-task window, no data collect.
+    """
+    from warcbase_spark.operators.components import connected_components
+    from warcbase_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verified_jaccard,
+    )
+
+    is_eval = (F.col("doc_id") % eval_mod) == 0
+    kept = docs.where(weighted_keep(F.col("source"), F.col("doc_id")) & ~is_eval)
+    eval_df = docs.where(is_eval)
+
+    contaminated = (
+        decontaminate(kept, eval_df, n=3)
+        .where(F.col("flag_contaminated") == 1)
+        .select("doc_id")
+    )
+    s1 = kept.join(contaminated, "doc_id", "left_anti")
+
+    keep_exact = (
+        s1.groupBy(F.md5("text").alias("_fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(keep_exact, "doc_id", "left_semi").localCheckpoint(eager=False)
+
+    sh = doc_shingles(s2).cache()  # read twice: signatures + jaccard verify
+    pairs = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, bucket_cap=200)
+    vp = verified_jaccard(pairs, sh, min_inter=3).select("a", "b")
+    labels = connected_components(vp, iters=cc_iters)
+    near_dups = labels.where(F.col("label") < F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    s3 = s2.join(near_dups, "doc_id", "left_anti")
+
+    packed = pack_sequences(s3, ctx_len=ctx_len, bucket_width=bucket_width)
+    shuf = global_shuffle(packed.select("doc_id"), seed="shuf0").select(
+        "doc_id", "shuffle_pos"
+    )
+
+    return (
+        s3.select("doc_id", "source")
+        .join(packed, "doc_id")
+        .join(shuf, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("tokens"),
+            F.sum(F.col("pack_last") - F.col("pack_first") + 1).cast("long").alias("pack_rows"),
+            F.sum("shuffle_pos").cast("long").alias("shuffle_checksum"),
+        )
+    )

@@ -1104,7 +1104,11 @@ def embedding_topk_cosine(spark, sf_dir):
 
 _NORM_SQL = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
 
-_SHINGLES_SQL = f"""
+def _shingles_sql(table: str = "documents") -> str:
+    """The distinct-shingle-set CTE over ``table`` — parameterized so the
+    e2e pipeline oracle can shingle its dedup survivors, not just the raw
+    documents table."""
+    return f"""
 sh AS (
   SELECT doc_id AS doc, sh FROM (
     SELECT doc_id,
@@ -1112,10 +1116,13 @@ sh AS (
              [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
               FOR i IN generate_series(1, len(ws) - 2)]
            ELSE [] END) AS sh
-    FROM (SELECT doc_id, {_NORM_SQL} AS ws FROM documents)
+    FROM (SELECT doc_id, {_NORM_SQL} AS ws FROM {table})
   ) GROUP BY 1, 2
 )
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 _JACCARD_TAIL_SQL = """
 sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
@@ -1130,11 +1137,10 @@ WHERE i.inter >= {min_inter}
 """
 
 
-_MINHASH_LSH_SQL = (
-    "WITH "
-    + _SHINGLES_SQL.strip().rstrip()
-    + """,
-sigs AS (
+# sigs→bands→pairs segment (reads the ``sh`` CTE; no table dependence) —
+# shared by the dedup_minhash_lsh oracle and the e2e pipeline oracle
+_MINHASH_PAIRS_SQL = (
+    """sigs AS (
   SELECT doc, """
     + ", ".join(
         f"min(substr(md5('{'a:' if i < 4 else 'b:'}' || sh), {(i % 4) * 8 + 1}, 8)) AS sig{i}"
@@ -1157,8 +1163,33 @@ bands AS (SELECT * FROM bands0 b
 pairs AS (
   SELECT DISTINCT x.doc AS a, y.doc AS b
   FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v AND x.doc < y.doc
+)"""
+)
+
+
+def _jaccard_vp_sql(min_inter: int) -> str:
+    """CTE form of _JACCARD_TAIL_SQL: verified pairs as ``vp`` instead of a
+    terminal SELECT, for oracles that keep composing past verification."""
+    return f"""
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT p.a, p.b, count(*) AS inter
+  FROM pairs p JOIN sh sa ON sa.doc = p.a JOIN sh sb ON sb.doc = p.b AND sb.sh = sa.sh
+  GROUP BY p.a, p.b
 ),
-"""
+vp AS (
+  SELECT i.a AS a, i.b AS b, i.inter AS inter, na.n + nb.n - i.inter AS union_sz
+  FROM inter i JOIN sizes na ON na.doc = i.a JOIN sizes nb ON nb.doc = i.b
+  WHERE i.inter >= {min_inter}
+)"""
+
+
+_MINHASH_LSH_SQL = (
+    "WITH "
+    + _SHINGLES_SQL.strip().rstrip()
+    + ",\n"
+    + _MINHASH_PAIRS_SQL
+    + ",\n"
     + _JACCARD_TAIL_SQL.format(min_inter=3)
 )
 
@@ -1245,11 +1276,10 @@ _WINNOW_PAIRS_SQL = """
     )"""
 
 
-def _cc_oracle_sql(iters: int = 8) -> str:
-    """Unrolled min-label-propagation twin of operators.components over the
-    MinHash-LSH verified pair graph (the pagerank-oracle pattern: a fixed
-    iteration count both engines run verbatim, so results agree exactly
-    even on unconverged graphs). The verified-pairs query nests as a CTE."""
+def _cc_steps_sql(iters: int) -> tuple[str, str]:
+    """The unrolled min-label-propagation CTE steps (requires CTEs ``e``
+    (src,dst edges, both directions) and ``l0`` (node,label) upstream).
+    Returns (steps_sql, final_label_table)."""
     steps = []
     prev = "l0"
     for k in range(1, iters + 1):
@@ -1263,6 +1293,15 @@ def _cc_oracle_sql(iters: int = 8) -> str:
       FROM {prev} l LEFT JOIN m{k} m ON m.node = l.node
     )""")
         prev = f"l{k}"
+    return ",".join(steps), prev
+
+
+def _cc_oracle_sql(iters: int = 8) -> str:
+    """Unrolled min-label-propagation twin of operators.components over the
+    MinHash-LSH verified pair graph (the pagerank-oracle pattern: a fixed
+    iteration count both engines run verbatim, so results agree exactly
+    even on unconverged graphs). The verified-pairs query nests as a CTE."""
+    steps_sql, prev = _cc_steps_sql(iters)
     return (
         f"""
     WITH vp AS MATERIALIZED ({_MINHASH_LSH_SQL}),
@@ -1270,7 +1309,7 @@ def _cc_oracle_sql(iters: int = 8) -> str:
       SELECT a AS src, b AS dst FROM vp UNION ALL SELECT b AS src, a AS dst FROM vp
     ),
     l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),"""
-        + ",".join(steps)
+        + steps_sql
         + f"""
     SELECT label AS component, CAST(count(*) AS BIGINT) AS size
     FROM {prev} GROUP BY 1
@@ -2819,6 +2858,107 @@ def global_shuffle_pos(spark, sf_dir):
     from warcbase_spark.operators.pipeline import global_shuffle
 
     return global_shuffle(_t(spark, sf_dir, "documents")).select("doc_id", "shuffle_pos")
+
+
+def _pipeline_e2e_sql(cc_iters: int = 8) -> str:
+    """DuckDB twin of operators.pipeline.training_pipeline: the full
+    weighted-mix → decontaminate → exact-dedup → MinHash-CC-keep-one →
+    pack → shuffle chain, composed from the SAME CTE builders as the
+    individual oracles (shingles/pairs/jaccard parameterized over the
+    dedup survivors ``s2``)."""
+    steps_sql, last = _cc_steps_sql(cc_iters)
+    hexv = f"{_HEXP.format(i=1)}*256 + {_HEXP.format(i=2)}*16 + {_HEXP.format(i=3)}"
+    return f"""
+    WITH kept AS MATERIALIZED (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               md5('mix:' || CAST(doc_id AS VARCHAR)) AS h,
+               greatest(1000 - 45 * CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT), 100)
+                 AS rate
+        FROM documents WHERE doc_id % 37 != 0
+      ) WHERE {hexv} < (rate * 4096) // 1000
+    ),
+    ktoks AS (SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS ntok FROM kept),
+    tg AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+        FROM ktoks, LATERAL (SELECT unnest(range(1, ntok - 1)) AS i) u WHERE ntok >= 3
+      ) GROUP BY doc_id, g
+    ),
+    etoks AS (SELECT {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS ntok
+              FROM documents WHERE doc_id % 37 = 0),
+    ev AS (
+      SELECT DISTINCT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM etoks, LATERAL (SELECT unnest(range(1, ntok - 1)) AS i) u WHERE ntok >= 3
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+    shd AS (SELECT t.doc_id, count(*) AS n_shared FROM tg t JOIN ev USING (g) GROUP BY 1),
+    contam AS (
+      SELECT s.doc_id FROM shd s JOIN tot USING (doc_id)
+      WHERE (s.n_shared * 1000) // tot.n_grams >= 100
+    ),
+    s1 AS MATERIALIZED (
+      SELECT k.* FROM kept k
+      WHERE NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id)
+    ),
+    s1keep AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY md5(text)),
+    s2 AS MATERIALIZED (SELECT s1.* FROM s1 JOIN s1keep USING (doc_id)),
+    {_shingles_sql("s2").strip()},
+    {_MINHASH_PAIRS_SQL},
+    {_jaccard_vp_sql(3).strip()},
+    e AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM vp UNION ALL SELECT b AS src, a AS dst FROM vp
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e),{steps_sql},
+    dropn AS (SELECT node FROM {last} WHERE label < node),
+    s3 AS MATERIALIZED (
+      SELECT s2.* FROM s2 WHERE NOT EXISTS (SELECT 1 FROM dropn d WHERE d.node = s2.doc_id)
+    ),
+    dd AS (
+      SELECT doc_id, source, CAST(len({_TOKS_SQL}) AS BIGINT) AS ntok FROM s3
+      WHERE len({_TOKS_SQL}) > 0
+    ),
+    c AS (
+      SELECT *, sum(ntok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS tok_end
+      FROM dd
+    ),
+    p AS (
+      SELECT doc_id, source, ntok,
+             (tok_end - ntok) // 128 AS pf, (tok_end - 1) // 128 AS pl
+      FROM c
+    ),
+    sp AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5('shuf0:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+      FROM p
+    )
+    SELECT p.source AS source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p.ntok) AS BIGINT) AS tokens,
+           CAST(sum(p.pl - p.pf + 1) AS BIGINT) AS pack_rows,
+           CAST(sum(sp.pos) AS BIGINT) AS shuffle_checksum
+    FROM p JOIN sp USING (doc_id) GROUP BY p.source
+    """
+
+
+@query("pipeline_e2e", _pipeline_e2e_sql(8))
+def pipeline_e2e(spark, sf_dir):
+    """The training-data pipeline END-TO-END in one composed Spark plan
+    (operators/pipeline.py:training_pipeline): weighted source mixing →
+    3-gram decontamination vs the doc_id%37 eval split → exact dedup
+    (keep min doc per md5(text)) → MinHash-LSH verified pairs → 8-iter
+    connected components keep-one → ctx-128 sequence packing →
+    deterministic global shuffle — reporting per-source surviving docs,
+    token mass, pack-span rows, and the shuffle-position checksum. Every
+    stage is oracle-verified in isolation; this query verifies they
+    COMPOSE (column contracts, shared normalization, no hidden driver
+    round-trips)."""
+    from warcbase_spark.operators.pipeline import training_pipeline
+
+    return training_pipeline(
+        _t(spark, sf_dir, "documents"), eval_mod=37, ctx_len=128, bucket_width=64
+    )
 
 
 # ---------------------------------------------------------------------------
