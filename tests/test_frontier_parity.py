@@ -180,3 +180,49 @@ def test_broadcast_gate_crawl_parity(spark, corpus_dir, crawl):
     assert {r["url_key"] for r in fc.url_seen().collect()} == {
         r["url_key"] for r in crawl.url_seen().collect()
     }
+
+
+def test_seen_layout_bucketed_parity_and_resume(spark, corpus_dir, crawl):
+    """seen_layout='bucketed' (the incremental partitioned+bucketed catalog
+    table; each round commit rewrites ONLY the delta's bucket-partitions)
+    must produce a bit-identical crawl to the default delta-dir layout,
+    AND resume exactly across a simulated crash + fresh process (the
+    in-memory catalog is gone; the table re-registers from its external
+    path and replays the one uncommitted-marker delta idempotently)."""
+    state = "/tmp/warcbase_spark_testfix/crawlstate_bucketed"
+    shutil.rmtree(state, ignore_errors=True)
+    fc = FrontierCrawl(
+        spark, corpus_dir, state, max_rounds=50, seen_layout="bucketed", seen_buckets=8
+    )
+    fc.bootstrap()
+    for r in range(3):
+        fc.run_round(r)  # simulated crash after round 2
+    # fresh object = fresh process: the catalog table must re-register from
+    # the external path and catch up from the manifest marker
+    spark.sql(f"DROP TABLE IF EXISTS {fc._seen_table}")
+    fc2 = FrontierCrawl(
+        spark, corpus_dir, state, max_rounds=50, seen_layout="bucketed", seen_buckets=8
+    )
+    fc2.run()
+    got_sched = sorted(
+        (r["round"], r["seq"], r["url_key"]) for r in fc2.schedule().collect()
+    )
+    ref_sched = sorted(
+        (r["round"], r["seq"], r["url_key"]) for r in crawl.schedule().collect()
+    )
+    assert got_sched == ref_sched
+    got_seen = {r["url_key"]: r["first_round"] for r in fc2.url_seen().collect()}
+    ref_seen = {r["url_key"]: r["first_round"] for r in crawl.url_seen().collect()}
+    assert got_seen == ref_seen
+    # the bucketed table itself must hold exactly the seen set
+    last = fc2.load_manifest()["last_committed_round"]
+    tbl = {
+        r["url_key"]: r["first_round"]
+        for r in fc2._seen_bucketed_df(last).collect()
+    }
+    assert tbl == ref_seen
+    # and preserve the one-file-per-bucket invariant after many upserts
+    from warcbase_spark.operators.sinks import assert_one_file_per_bucket
+
+    assert_one_file_per_bucket(spark, fc2._seen_table)
+    spark.sql(f"DROP TABLE IF EXISTS {fc2._seen_table}")

@@ -182,3 +182,69 @@ def test_bucketed_guard_refuses_multi_file_buckets(spark):
             write_bucketed(seen, "seen_multifile_testtbl", key="url_key", mode="append")
     finally:
         spark.sql("DROP TABLE IF EXISTS seen_multifile_testtbl")
+
+
+def test_incremental_bucketed_layout_plan_and_updates(spark):
+    """The incremental partitioned+bucketed seen layout: dynamic partition
+    overwrite must rewrite ONLY the delta's bucket-partitions, preserve
+    one-file-per-bucket, and the anti-join must stay Exchange-free and
+    Sort-free on the table side (identical plan guarantees as the flat
+    write_bucketed table)."""
+    import os
+    import shutil
+
+    from warcbase_spark.operators.sinks import (
+        assert_one_file_per_bucket,
+        upsert_bucketed_incremental,
+        write_bucketed_incremental_init,
+    )
+
+    path = "/tmp/warcbase_spark_testfix/inc_bucketed_tbl"
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = "inc_bucketed_testtbl"
+    base = spark.range(5000).select(F.concat(F.lit("k"), F.col("id")).alias("url_key"))
+    write_bucketed_incremental_init(base, tbl, path, key="url_key", n_buckets=8)
+    try:
+        mtimes = {
+            p: os.path.getmtime(f"{path}/{p}")
+            for p in os.listdir(path)
+            if p.startswith("pbucket=")
+        }
+        import time
+
+        time.sleep(1.1)
+        delta = spark.range(9000, 9003).select(
+            F.concat(F.lit("k"), F.col("id")).alias("url_key")
+        )
+        affected = upsert_bucketed_incremental(spark, tbl, delta, key="url_key", n_buckets=8)
+        changed = sorted(
+            int(p.split("=")[1])
+            for p in os.listdir(path)
+            if p.startswith("pbucket=") and os.path.getmtime(f"{path}/{p}") != mtimes[p]
+        )
+        assert changed == affected  # ONLY the delta's buckets were rewritten
+        assert len(affected) < 8
+        assert_one_file_per_bucket(spark, tbl)
+        # idempotency: re-applying the same delta must not duplicate rows
+        upsert_bucketed_incremental(spark, tbl, delta, key="url_key", n_buckets=8)
+        assert spark.table(tbl).count() == 5003
+        # Exchange-free anti-join on the table side
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cand = spark.range(1000).select(
+                F.concat(F.lit("k"), F.col("id") * 11).alias("url_key")
+            )
+            out = cand.join(spark.table(tbl).select("url_key"), "url_key", "left_anti")
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            assert plan.count("Exchange") == 1  # candidate side only
+            assert plan.count("Sort [") == 1
+            seen = {f"k{i}" for i in range(5000)} | {"k9000", "k9001", "k9002"}
+            expect = sum(1 for i in range(1000) if f"k{i * 11}" not in seen)
+            assert out.count() == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)

@@ -96,6 +96,8 @@ class FrontierCrawl:
         compact_every: int = 8,
         broadcast_row_limit: int = 2_000_000,
         winner_broadcast_limit: int | None = None,
+        seen_layout: str = "deltas",
+        seen_buckets: int = 32,
     ) -> None:
         self.spark = spark
         self.corpus_dir = corpus_dir
@@ -130,6 +132,22 @@ class FrontierCrawl:
         # (deletion-capable ShardedCuckoo, the north rule's named
         # alternative; broadcast probe)
         self._bloom: ShardedBloom | None = None
+        # seen_layout: "deltas" (default — the gate anti-joins the
+        # base+delta parquet dirs) or "bucketed" — the gate probes an
+        # incrementally-maintained partitioned+bucketed catalog table
+        # (sinks.upsert_bucketed_incremental): each round commit rewrites
+        # ONLY the bucket-partitions the round's delta touches, and the
+        # exact anti-join plans with NO Exchange and NO Sort on the seen
+        # side (the amortized co-located layout for a set probed by every
+        # round). The delta dirs stay the durable source of truth either
+        # way — resume semantics are identical.
+        if seen_layout not in ("deltas", "bucketed"):
+            raise ValueError(f"seen_layout must be 'deltas' or 'bucketed', got {seen_layout!r}")
+        self.seen_layout = seen_layout
+        self.seen_buckets = seen_buckets
+        import hashlib as _hashlib
+
+        self._seen_table = "seen_bkt_" + _hashlib.md5(state_dir.encode()).hexdigest()[:8]
         os.makedirs(state_dir, exist_ok=True)
 
         self.politeness = spark.read.parquet(f"{corpus_dir}/politeness.parquet")
@@ -171,17 +189,23 @@ class FrontierCrawl:
             else:
                 seen_rows_before = 0
         seen_rows = seen_rows_before + scheduled_delta
+        manifest = {
+            "last_committed_round": rnd,
+            "next_frontier_rows": frontier_rows,
+            "seen_base_round": seen_base,
+            "seen_rows": seen_rows,
+        }
+        if self.seen_layout == "bucketed":
+            # the bucketed table reflects deltas ≤ rnd (synced/rebuilt
+            # before the gate this round); committing the marker with the
+            # round keeps crash-resume idempotent (a re-run re-upserts the
+            # same delta, which replaces rather than duplicates)
+            manifest["seen_bucketed_round"] = rnd
+        elif "seen_bucketed_round" in m:
+            manifest["seen_bucketed_round"] = m["seen_bucketed_round"]
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "last_committed_round": rnd,
-                    "next_frontier_rows": frontier_rows,
-                    "seen_base_round": seen_base,
-                    "seen_rows": seen_rows,
-                },
-                f,
-            )
+            json.dump(manifest, f)
         os.replace(tmp, self._manifest_path)  # the atomic commit point
 
     def load_manifest(self) -> dict | None:
@@ -229,6 +253,9 @@ class FrontierCrawl:
         if not paths:
             return self.spark.createDataFrame([], "url_key string, url_hash long, first_round int")
         seen = self.spark.read.parquet(*paths)
+        return self._apply_tombstones(seen)
+
+    def _apply_tombstones(self, seen: DataFrame) -> DataFrame:
         tomb_dirs = self._tombstone_dirs()
         if tomb_dirs:
             tomb = (
@@ -248,6 +275,68 @@ class FrontierCrawl:
                 .drop("ts_round")
             )
         return seen
+
+    # ---------------- bucketed seen layout ----------------
+
+    @property
+    def _seen_bucketed_path(self) -> str:
+        return f"{self.state_dir}/seen_bucketed"
+
+    def _rebuild_seen_bucketed(self, upto_round: int) -> None:
+        from warcbase_spark.operators.sinks import write_bucketed_incremental_init
+
+        write_bucketed_incremental_init(
+            self._seen(upto_round),
+            self._seen_table,
+            self._seen_bucketed_path,
+            key="url_key",
+            n_buckets=self.seen_buckets,
+        )
+
+    def _sync_seen_bucketed(self, rnd: int) -> None:
+        """Bring the incremental bucketed table up to round ``rnd``. The
+        manifest's ``seen_bucketed_round`` names the last delta REFLECTED at
+        commit time; the upsert is idempotent (delta keys replace existing
+        rows), so re-applying round ``rnd`` after a crash-resume converges.
+        A missing table dir (first run / layout switch) triggers one full
+        build; afterwards each round costs only its affected buckets."""
+        from warcbase_spark.operators.sinks import (
+            register_bucketed_incremental,
+            upsert_bucketed_incremental,
+        )
+
+        m = self.load_manifest() or {}
+        sbr = m.get("seen_bucketed_round")
+        if sbr is None or not os.path.isdir(self._seen_bucketed_path):
+            self._rebuild_seen_bucketed(rnd)
+            return
+        if not self.spark.catalog.tableExists(self._seen_table):
+            register_bucketed_incremental(
+                self.spark,
+                self._seen_table,
+                self._seen_bucketed_path,
+                "url_key STRING, url_hash BIGINT, first_round INT",
+                key="url_key",
+                n_buckets=self.seen_buckets,
+            )
+        for r in range(sbr + 1, rnd + 1):
+            if os.path.exists(self._p("seen", r)):
+                delta = self.spark.read.parquet(self._p("seen", r))
+                upsert_bucketed_incremental(
+                    self.spark, self._seen_table, delta,
+                    key="url_key", n_buckets=self.seen_buckets,
+                )
+
+    def _seen_bucketed_df(self, upto_round: int) -> DataFrame:
+        """The seen set served from the bucketed table: same rows as
+        ``_seen(upto_round)``, but the scan is catalog-bucketed — the gate's
+        exact anti-join plans Exchange-free and Sort-free on this side."""
+        seen = (
+            self.spark.table(self._seen_table)
+            .where(F.col("first_round") <= upto_round)
+            .drop("pbucket")
+        )
+        return self._apply_tombstones(seen)
 
     def _tombstone_dirs(self, upto_round: int | None = None) -> list[str]:
         root = f"{self.state_dir}/tombstones"
@@ -439,7 +528,11 @@ class FrontierCrawl:
         )
 
         # URL-seen gate: Bloom prefilter + exact anti-join (incl. this round)
-        seen = self._seen(rnd)
+        if self.seen_layout == "bucketed":
+            self._sync_seen_bucketed(rnd)
+            seen = self._seen_bucketed_df(rnd)
+        else:
+            seen = self._seen(rnd)
         seen_rows_before: int | None = None  # legacy-manifest seed for _commit
 
         def _n_seen_pre() -> int:
@@ -530,6 +623,12 @@ class FrontierCrawl:
             self._p("metrics", rnd)
         )
         new_base = self._maybe_compact_seen(rnd)
+        if new_base is not None and self.seen_layout == "bucketed":
+            # compaction prunes consumed tombstone dirs below — rebuild the
+            # bucketed table first so tombstoned rows are physically gone
+            # from it (read-side filtering can no longer hide them once the
+            # dirs are pruned); compaction is already a full-rewrite event
+            self._rebuild_seen_bucketed(rnd)
         self._commit(
             rnd,
             n_frontier,

@@ -139,10 +139,15 @@ def assert_one_file_per_bucket(spark, table: str) -> None:
     )
     path = location.removeprefix("file:")
     per_bucket: dict[int, int] = collections.defaultdict(int)
-    for fname in os.listdir(path):
-        m = re.match(r"part-\d+-[0-9a-f-]+_(\d+)", fname)
-        if m:
-            per_bucket[int(m.group(1))] += 1
+    # walk: a flat bucketed table keeps files at the root; the incremental
+    # partitioned+bucketed layout keeps them under pbucket=N/ dirs (where
+    # pbucket == the bucket hash, so each bucket id still appears exactly
+    # once table-wide when the invariant holds)
+    for dirpath, _dirs, files in os.walk(path):
+        for fname in files:
+            m = re.match(r"part-\d+-[0-9a-f-]+_(\d+)", fname)
+            if m:
+                per_bucket[int(m.group(1))] += 1
     bad = {b: c for b, c in per_bucket.items() if c > 1}
     if bad:
         raise AssertionError(
@@ -162,3 +167,88 @@ def bucketed_anti_join(candidates: DataFrame, table: str, key: str = "url_key") 
     spark = candidates.sparkSession
     assert_one_file_per_bucket(spark, table)
     return candidates.join(spark.table(table).select(key), key, "left_anti")
+
+# ---------------------------------------------------------------------------
+# Incremental bucketed layout: Hive-partitioned BY the bucket hash AND
+# catalog-bucketed on the key
+# ---------------------------------------------------------------------------
+#
+# The trick: partition column pbucket = pmod(hash(key), n) uses the SAME
+# Murmur3 hash Spark's bucketBy uses for bucket assignment, so partition
+# pbucket=k contains exactly bucket k — one file per bucket overall (the
+# sorted-scan invariant holds) — while dynamic partition overwrite rewrites
+# ONLY the bucket-partitions an update touches. This is the per-bucket
+# incremental rewrite a real Iceberg table gets from file-level manifests,
+# expressed in vanilla Spark catalog primitives: the crawl's URL-seen set
+# grows by a delta each round, and a round commit costs
+# O(|affected buckets|), not a full-table rewrite.
+
+
+def _pbucket_col(key: str, n_buckets: int) -> F.Column:
+    # F.hash == Murmur3Hash(seed 42) == HashPartitioning.partitionIdExpression's
+    # hash — the same function bucketBy assigns buckets with
+    return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+
+
+def write_bucketed_incremental_init(
+    df: DataFrame, table: str, path: str, key: str, n_buckets: int = 32
+) -> None:
+    """Create (or fully rewrite) the incremental bucketed table: external
+    (data at ``path`` survives the session's in-memory catalog), Hive-
+    partitioned by pbucket, catalog-bucketed+sorted on ``key``."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.withColumn("pbucket", _pbucket_col(key, n_buckets))
+        .repartition(n_buckets, F.col(key))
+        .write.partitionBy("pbucket")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def upsert_bucketed_incremental(
+    spark, table: str, delta: DataFrame, key: str, n_buckets: int = 32
+) -> list[int]:
+    """Merge ``delta`` into the incremental bucketed table, rewriting ONLY
+    the bucket-partitions the delta touches (dynamic partition overwrite).
+    IDEMPOTENT: existing rows with a delta key are replaced, so re-applying
+    the same delta after a crash-resume converges to the same table.
+    Returns the affected bucket ids."""
+    d = delta.withColumn("pbucket", _pbucket_col(key, n_buckets)).localCheckpoint(
+        eager=False
+    )
+    affected = sorted(r["pbucket"] for r in d.select("pbucket").distinct().collect())
+    if not affected:
+        return []
+    old = spark.table(table).where(F.col("pbucket").isin(affected))
+    merged = old.join(d.select(key), key, "left_anti").unionByName(d)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.repartition(n_buckets, F.col(key)).write.mode("overwrite").insertInto(table)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return affected
+
+
+def register_bucketed_incremental(
+    spark, table: str, path: str, columns_sql: str, key: str, n_buckets: int = 32
+) -> None:
+    """Re-attach an existing incremental bucketed table after a session
+    restart (the default catalog is in-memory; the DATA at ``path`` is
+    durable). ``columns_sql`` lists the non-partition columns, e.g.
+    ``"url_key STRING, url_hash BIGINT, first_round INT"``."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"""CREATE TABLE {table} ({columns_sql}, pbucket INT)
+            USING PARQUET
+            PARTITIONED BY (pbucket)
+            CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS
+            LOCATION '{path}'"""
+    )
+    spark.sql(f"MSCK REPAIR TABLE {table}")
