@@ -139,6 +139,15 @@ def main() -> None:
     )
     out["e2e_shuffle_permutation"] = True
 
+    # same chain with the engine-mode fast minhash kernel (xxhash64): the
+    # production configuration; md5 above is the oracle-portable mode
+    t0 = time.monotonic()
+    e2e_fast = training_pipeline(
+        wide, eval_mod=97, ctx_len=2048, bucket_width=8192, minhash_hash_mode="fast"
+    ).collect()
+    out["e2e_fast_sec"] = round(time.monotonic() - t0, 2)
+    out["e2e_fast_matches_md5"] = sorted(map(tuple, e2e_fast)) == sorted(map(tuple, e2e))
+
     print(json.dumps(out))
 
 

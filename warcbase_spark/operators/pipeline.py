@@ -444,6 +444,7 @@ def training_pipeline(
     ctx_len: int = 128,
     bucket_width: int = 1 << 16,
     cc_iters: int = 8,
+    minhash_hash_mode: str = "md5",
 ) -> DataFrame:
     """The full pretraining-data pipeline as ONE composed plan — the way a
     real run chains the individually-verified operators:
@@ -493,7 +494,8 @@ def training_pipeline(
     s2 = s1.join(keep_exact, "doc_id", "left_semi").localCheckpoint(eager=False)
 
     sh = doc_shingles(s2).cache()  # read twice: signatures + jaccard verify
-    pairs = lsh_candidate_pairs(minhash_signatures(sh, 8), 8, bucket_cap=200)
+    sigs = minhash_signatures(sh, 8, hash_mode=minhash_hash_mode)
+    pairs = lsh_candidate_pairs(sigs, 8, bucket_cap=200)
     vp = verified_jaccard(pairs, sh, min_inter=3).select("a", "b")
     labels = connected_components(vp, iters=cc_iters)
     near_dups = labels.where(F.col("label") < F.col("node")).select(
