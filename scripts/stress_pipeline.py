@@ -124,8 +124,11 @@ def main() -> None:
     # the downstream stages of input — web-like text doesn't collide so
     wide = synth_docs(spark, n, vocab=200_000).repartition(cpus * 4)
     wide = wide.localCheckpoint(eager=True)
+    reg = []
     t0 = time.monotonic()
-    e2e = training_pipeline(wide, eval_mod=97, ctx_len=2048, bucket_width=8192).collect()
+    e2e = training_pipeline(
+        wide, eval_mod=97, ctx_len=2048, bucket_width=8192, cache_registry=reg
+    ).collect()
     out["e2e_sec"] = round(time.monotonic() - t0, 2)
     out["e2e_sources"] = len(e2e)
     out["e2e_docs"] = int(sum(r["n_docs"] for r in e2e))
@@ -141,12 +144,18 @@ def main() -> None:
 
     # same chain with the engine-mode fast minhash kernel (xxhash64): the
     # production configuration; md5 above is the oracle-portable mode
+    for df in reg:  # release the md5 run's shingle cache + checkpoints
+        df.unpersist()
+    reg = []
     t0 = time.monotonic()
     e2e_fast = training_pipeline(
-        wide, eval_mod=97, ctx_len=2048, bucket_width=8192, minhash_hash_mode="fast"
+        wide, eval_mod=97, ctx_len=2048, bucket_width=8192,
+        minhash_hash_mode="fast", cache_registry=reg,
     ).collect()
     out["e2e_fast_sec"] = round(time.monotonic() - t0, 2)
     out["e2e_fast_matches_md5"] = sorted(map(tuple, e2e_fast)) == sorted(map(tuple, e2e))
+    for df in reg:
+        df.unpersist()
 
     print(json.dumps(out))
 

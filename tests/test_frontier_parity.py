@@ -226,3 +226,52 @@ def test_seen_layout_bucketed_parity_and_resume(spark, corpus_dir, crawl):
 
     assert_one_file_per_bucket(spark, fc2._seen_table)
     spark.sql(f"DROP TABLE IF EXISTS {fc2._seen_table}")
+
+
+def test_bucketed_marker_hygiene(spark, corpus_dir):
+    """Review findings (r5): (a) non-round commits (recrawl's repair
+    commit) must NOT advance seen_bucketed_round — the table never
+    received those deltas; (b) resuming with a different seen_buckets
+    must trigger a full rebuild (hash(key) % new_n would route keys to
+    the wrong buckets of an old-n table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    state = "/tmp/warcbase_spark_testfix/crawlstate_bucketed_marker"
+    shutil.rmtree(state, ignore_errors=True)
+    fc = FrontierCrawl(
+        spark, corpus_dir, state, max_rounds=50, seen_layout="bucketed", seen_buckets=8
+    )
+    fc.bootstrap()
+    fc.run_round(0)
+    fc.run_round(1)
+    m = fc.load_manifest()
+    assert m["seen_bucketed_round"] == 1
+    assert m["seen_bucket_count"] == 8
+
+    # (a) recrawl commits (tombstone + frontier swap) must preserve, not
+    # advance, the marker
+    some = fc.schedule().select("url").limit(2)
+    fc.recrawl(some)
+    m2 = fc.load_manifest()
+    assert m2["seen_bucketed_round"] == 1, "non-round commit advanced the bucketed marker"
+
+    # (b) bucket-count drift on resume → full rebuild under the new count
+    spark.sql(f"DROP TABLE IF EXISTS {fc._seen_table}")
+    fc16 = FrontierCrawl(
+        spark, corpus_dir, state, max_rounds=50, seen_layout="bucketed", seen_buckets=16
+    )
+    nxt = fc16.load_manifest()["last_committed_round"] + 1
+    fc16.run_round(nxt)
+    pdirs = [
+        d for d in os.listdir(fc16._seen_bucketed_path) if d.startswith("pbucket=")
+    ]
+    assert len(pdirs) > 8, f"table not rebuilt under the new bucket count: {pdirs}"
+    assert fc16.load_manifest()["seen_bucket_count"] == 16
+    # the rebuilt table still equals the delta-dir truth
+    last = fc16.load_manifest()["last_committed_round"]
+    tbl = {r["url_key"]: r["first_round"] for r in fc16._seen_bucketed_df(last).collect()}
+    truth = {r["url_key"]: r["first_round"] for r in fc16._seen(last).collect()}
+    assert tbl == truth
+    spark.sql(f"DROP TABLE IF EXISTS {fc16._seen_table}")

@@ -183,6 +183,37 @@ def test_bucketed_guard_refuses_multi_file_buckets(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS seen_multifile_testtbl")
 
+    # a data file with NO bucket suffix (a non-bucketed writer touched the
+    # table location) is not bucket-aligned AT ALL — the guard must refuse
+    import os
+    import shutil
+
+    from warcbase_spark.operators.sinks import assert_one_file_per_bucket
+
+    spark.sql("DROP TABLE IF EXISTS seen_rogue_testtbl")
+    write_bucketed(
+        spark.range(100).select(F.concat(F.lit("k"), F.col("id")).alias("url_key")),
+        "seen_rogue_testtbl", key="url_key", n_buckets=4,
+    )
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED seen_rogue_testtbl")
+        .where(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    ).removeprefix("file:")
+    rogue_src = "/tmp/warcbase_spark_testfix/rogue_plain_parquet"
+    shutil.rmtree(rogue_src, ignore_errors=True)
+    spark.range(5).select(F.concat(F.lit("x"), F.col("id")).alias("url_key")).coalesce(
+        1
+    ).write.parquet(rogue_src)
+    rogue = next(f for f in os.listdir(rogue_src) if f.startswith("part-"))
+    try:
+        shutil.copy(os.path.join(rogue_src, rogue), os.path.join(loc, rogue))
+        with _pytest.raises(AssertionError, match="no bucket suffix"):
+            assert_one_file_per_bucket(spark, "seen_rogue_testtbl")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS seen_rogue_testtbl")
+        shutil.rmtree(rogue_src, ignore_errors=True)
+
 
 def test_incremental_bucketed_layout_plan_and_updates(spark):
     """The incremental partitioned+bucketed seen layout: dynamic partition

@@ -169,6 +169,7 @@ class FrontierCrawl:
         seen_base: int | None = None,
         scheduled_delta: int = 0,
         seen_rows_before: int | None = None,
+        seen_bucketed_round: int | None = None,
     ) -> None:
         m = self.load_manifest() or {}
         if seen_base is None:
@@ -195,14 +196,18 @@ class FrontierCrawl:
             "seen_base_round": seen_base,
             "seen_rows": seen_rows,
         }
-        if self.seen_layout == "bucketed":
-            # the bucketed table reflects deltas ≤ rnd (synced/rebuilt
-            # before the gate this round); committing the marker with the
-            # round keeps crash-resume idempotent (a re-run re-upserts the
-            # same delta, which replaces rather than duplicates)
-            manifest["seen_bucketed_round"] = rnd
-        elif "seen_bucketed_round" in m:
-            manifest["seen_bucketed_round"] = m["seen_bucketed_round"]
+        if seen_bucketed_round is not None:
+            # ONLY run_round passes this, after it actually synced the
+            # bucketed table to this round; every other commit (recrawl,
+            # stale-counter repair, bootstrap) preserves the existing
+            # marker — stamping blindly here would claim deltas the table
+            # never received (a permanent hole in the bucketed seen set)
+            manifest["seen_bucketed_round"] = seen_bucketed_round
+            manifest["seen_bucket_count"] = self.seen_buckets
+        else:
+            for k in ("seen_bucketed_round", "seen_bucket_count"):
+                if k in m:
+                    manifest[k] = m[k]
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -307,7 +312,16 @@ class FrontierCrawl:
 
         m = self.load_manifest() or {}
         sbr = m.get("seen_bucketed_round")
-        if sbr is None or not os.path.isdir(self._seen_bucketed_path):
+        if (
+            sbr is None
+            or not os.path.isdir(self._seen_bucketed_path)
+            # bucket-count drift: a resume with a different seen_buckets
+            # would re-declare the old files under a new bucket spec —
+            # hash(key) % new_n routes keys to the wrong buckets and the
+            # gate silently re-crawls seen URLs. Rebuild under the current
+            # count instead (the delta dirs are the durable truth).
+            or m.get("seen_bucket_count") != self.seen_buckets
+        ):
             self._rebuild_seen_bucketed(rnd)
             return
         if not self.spark.catalog.tableExists(self._seen_table):
@@ -629,12 +643,23 @@ class FrontierCrawl:
             # from it (read-side filtering can no longer hide them once the
             # dirs are pruned); compaction is already a full-rewrite event
             self._rebuild_seen_bucketed(rnd)
+        elif new_base is not None and os.path.isdir(self._seen_bucketed_path):
+            # compacting under the DELTAS layout while a bucketed table dir
+            # exists from earlier bucketed rounds: the pruned tombstones are
+            # about to become invisible to _apply_tombstones, so the stale
+            # derived table could resurrect dead rows on a later layout
+            # switch. Delete it — it's a derived layout; the next bucketed
+            # run rebuilds from the delta dirs (the durable truth).
+            import shutil as _shutil
+
+            _shutil.rmtree(self._seen_bucketed_path, ignore_errors=True)
         self._commit(
             rnd,
             n_frontier,
             seen_base=new_base,
             scheduled_delta=m.scheduled,
             seen_rows_before=seen_rows_before,
+            seen_bucketed_round=rnd if self.seen_layout == "bucketed" else None,
         )
         if new_base is not None:
             # tombstones ≤ the committed base round are fully reflected in

@@ -183,6 +183,7 @@ def decontaminate(
     broadcast_row_limit: int = DECONTAM_BROADCAST_ROW_LIMIT,
     eval_gram_count: int | None = None,
     min_partitions: int | None = None,
+    cache_registry: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Benchmark-decontamination: for every train document, count distinct
     token ``n``-grams shared with the eval corpus and flag docs whose gram
@@ -220,6 +221,8 @@ def decontaminate(
         # the gate needs a count and the join needs the same rows — persist
         # so the eval-side explode+distinct runs ONCE, not once per use
         eval_grams = eval_grams.localCheckpoint(eager=False)
+        if cache_registry is not None:
+            cache_registry.append(eval_grams)
         n_eval = eval_grams.count()
     if n_eval <= broadcast_row_limit:
         marked = exploded.join(F.broadcast(eval_grams), "g", "left")
@@ -445,6 +448,7 @@ def training_pipeline(
     bucket_width: int = 1 << 16,
     cc_iters: int = 8,
     minhash_hash_mode: str = "md5",
+    cache_registry: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """The full pretraining-data pipeline as ONE composed plan — the way a
     real run chains the individually-verified operators:
@@ -480,7 +484,7 @@ def training_pipeline(
     eval_df = docs.where(is_eval)
 
     contaminated = (
-        decontaminate(kept, eval_df, n=3)
+        decontaminate(kept, eval_df, n=3, cache_registry=cache_registry)
         .where(F.col("flag_contaminated") == 1)
         .select("doc_id")
     )
@@ -494,6 +498,12 @@ def training_pipeline(
     s2 = s1.join(keep_exact, "doc_id", "left_semi").localCheckpoint(eager=False)
 
     sh = doc_shingles(s2).cache()  # read twice: signatures + jaccard verify
+    if cache_registry is not None:
+        # release hook (same pattern as the crawl loop's to_unpersist): the
+        # checkpointed survivors and the shingle cache pin executor storage
+        # until the caller is done with the returned plan — unpersist them
+        # between repeated invocations or they accumulate until eviction
+        cache_registry.extend([s2, sh])
     sigs = minhash_signatures(sh, 8, hash_mode=minhash_hash_mode)
     pairs = lsh_candidate_pairs(sigs, 8, bucket_cap=200)
     vp = verified_jaccard(pairs, sh, min_inter=3).select("a", "b")

@@ -139,22 +139,31 @@ def assert_one_file_per_bucket(spark, table: str) -> None:
     )
     path = location.removeprefix("file:")
     per_bucket: dict[int, int] = collections.defaultdict(int)
+    unbucketed: list[str] = []
     # walk: a flat bucketed table keeps files at the root; the incremental
     # partitioned+bucketed layout keeps them under pbucket=N/ dirs (where
     # pbucket == the bucket hash, so each bucket id still appears exactly
     # once table-wide when the invariant holds)
     for dirpath, _dirs, files in os.walk(path):
         for fname in files:
+            if not fname.startswith("part-"):
+                continue  # _SUCCESS, checksums, ...
             m = re.match(r"part-\d+-[0-9a-f-]+_(\d+)", fname)
             if m:
                 per_bucket[int(m.group(1))] += 1
+            else:
+                # a data file with NO bucket suffix means some non-bucketed
+                # writer touched the table — its rows are not bucket-aligned
+                # at all, the worst violation
+                unbucketed.append(os.path.join(dirpath, fname))
     bad = {b: c for b, c in per_bucket.items() if c > 1}
-    if bad:
+    if bad or unbucketed:
         raise AssertionError(
             f"bucketed table {table} violates the one-file-per-bucket "
-            f"invariant (buckets with >1 file: {bad}); with the legacy "
-            "outputOrdering flag set a sort-merge join on it would return "
-            "WRONG results — rewrite it via write_bucketed"
+            f"invariant (buckets with >1 file: {bad}; files with no bucket "
+            f"suffix: {unbucketed[:3]}); with the legacy outputOrdering "
+            "flag set a sort-merge join on it would return WRONG results — "
+            "rewrite it via write_bucketed"
         )
 
 

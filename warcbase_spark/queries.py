@@ -2617,13 +2617,17 @@ def html_remove_text(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _TOKS_SQL = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+# quality_repetition's engine side coalesces NULL text to '' (repetition_stats)
+# — its oracle must coalesce identically or a NULL-text document diverges
+# (Spark ntok=1 vs DuckDB ntok=NULL→milli 0)
+_TOKS_NN_SQL = "string_split(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')), ' ')"
 
 
 @query(
     "quality_repetition",
     f"""
     WITH b2 AS (
-      SELECT doc_id, {_TOKS_SQL} AS toks, len({_TOKS_SQL}) AS ntok FROM documents
+      SELECT doc_id, {_TOKS_NN_SQL} AS toks, len({_TOKS_NN_SQL}) AS ntok FROM documents
     ),
     big AS (
       SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
