@@ -63,6 +63,7 @@ HEADLINE = [
     # round-5 operators
     "url_dictionary",
     "pipeline_e2e",
+    "ann_ivf_kmeans",
 ]
 
 

@@ -18,7 +18,7 @@ SHOW = [
     "dedup_winnow", "ann_ivf_topk", "dedup_simhash",
     "ann_ivf_batch", "quality_repetition", "decontam_eval3",
     "pack_sequences", "pack_manifest", "mix_weighted_sample", "global_shuffle_pos",
-    "url_dictionary", "pipeline_e2e",
+    "url_dictionary", "pipeline_e2e", "ann_ivf_kmeans",
 ]
 
 

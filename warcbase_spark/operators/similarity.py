@@ -146,10 +146,17 @@ def ivf_centroids(n_cells: int, dim: int, seed: int) -> list[list[int]]:
     return [[rng.randint(-1000, 1000) for _ in range(dim)] for _ in range(n_cells)]
 
 
-def _ivf_scores(emb, cents: list[list[int]]) -> list[Column]:
-    """Integer inner-product score of the fixed-point embedding against each
-    centroid (spherical-k-means-style assignment — argmax inner product)."""
-    q = F.transform(emb, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"))
+def quantize_q(emb) -> Column:
+    """The fixed-point embedding used for ALL integer centroid arithmetic:
+    round(x * 1e6) as long — exact 64-bit dots (|q| ≲ 5e6, dim 64 → dots
+    ≤ ~1.6e15, inside both long and float64-exact-integer range, so Spark
+    long math and DuckDB list_dot_product agree bit-for-bit)."""
+    return F.transform(emb, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"))
+
+
+def _ivf_scores_q(q, cents: list[list[int]]) -> list[Column]:
+    """Integer inner-product scores of a pre-quantized vector against each
+    centroid literal."""
     out = []
     for cv in cents:
         sv = F.array(*[F.lit(s) for s in cv])
@@ -163,20 +170,33 @@ def _ivf_scores(emb, cents: list[list[int]]) -> list[Column]:
     return out
 
 
-def ivf_cell(emb, n_cells: int = 16, dim: int = 64, seed: int = 13) -> Column:
-    """IVF cell id = argmax-centroid-score, earliest index on ties (struct
-    array_max with a reverse-index pref field — each score expression
-    appears exactly once in the plan). At cluster scale the cell is the
-    PARTITION KEY of the vector table (write partitioned/clustered by cell),
-    so an nprobe query prunes to nprobe partitions of the scan."""
-    cents = ivf_centroids(n_cells, dim, seed)
+def _ivf_scores(emb, cents: list[list[int]]) -> list[Column]:
+    """Integer inner-product score of the fixed-point embedding against each
+    centroid (spherical-k-means-style assignment — argmax inner product)."""
+    return _ivf_scores_q(quantize_q(emb), cents)
+
+
+def _argmax_cell(scores: list[Column]) -> Column:
+    """argmax-score cell id, earliest index on ties (struct array_max with a
+    reverse-index pref field — each score expression appears exactly once
+    in the plan)."""
+    n = len(scores)
     structs = [
-        F.struct(
-            s.alias("score"), F.lit(n_cells - i).alias("pref"), F.lit(i).alias("cell")
-        )
-        for i, s in enumerate(_ivf_scores(emb, cents))
+        F.struct(s.alias("score"), F.lit(n - i).alias("pref"), F.lit(i).alias("cell"))
+        for i, s in enumerate(scores)
     ]
     return F.array_max(F.array(*structs)).getField("cell")
+
+
+def ivf_cell(emb, n_cells: int = 16, dim: int = 64, seed: int = 13,
+             centroids: "list[list[int]] | None" = None) -> Column:
+    """IVF cell id = argmax-centroid-score, earliest index on ties. At
+    cluster scale the cell is the PARTITION KEY of the vector table (write
+    partitioned/clustered by cell), so an nprobe query prunes to nprobe
+    partitions of the scan. ``centroids`` overrides the seeded random
+    quantizer with trained ones (ivf_train_kmeans)."""
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim, seed)
+    return _argmax_cell(_ivf_scores(emb, cents))
 
 
 def ivf_topk(
@@ -221,13 +241,14 @@ def ivf_topk(
 
 
 def ivf_probe_cells(emb, n_cells: int = 16, nprobe: int = 2, dim: int = 64,
-                    seed: int = 13) -> Column:
+                    seed: int = 13,
+                    centroids: "list[list[int]] | None" = None) -> Column:
     """Array of the embedding's ``nprobe`` best cells (score DESC, cell ASC
     on ties), fully Catalyst-side: one struct per centroid with NEGATED
     score so ``array_sort``'s ascending lexicographic order ranks best
     first, sliced to nprobe. Each centroid-score expression appears exactly
     once in the plan (same discipline as ``ivf_cell``)."""
-    cents = ivf_centroids(n_cells, dim, seed)
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim, seed)
     structs = [
         F.struct((-s).alias("nscore"), F.lit(i).alias("cell"))
         for i, s in enumerate(_ivf_scores(emb, cents))
@@ -246,6 +267,7 @@ def ivf_topk_batch(
     emb_col: str = "embedding",
     dim: int = 64,
     seed: int = 13,
+    centroids: "list[list[int]] | None" = None,
 ) -> DataFrame:
     """Batch IVF ANN — the shape a training pipeline actually runs
     (retrieval for a FULL query set, not one point lookup): every vector
@@ -264,7 +286,7 @@ def ivf_topk_batch(
     e = emb_df.select(
         F.col(id_col).alias("vec_id"),
         v.alias("v"),
-        ivf_cell(F.col(emb_col), n_cells, dim, seed).alias("cell"),
+        ivf_cell(F.col(emb_col), n_cells, dim, seed, centroids=centroids).alias("cell"),
     )
     q = (
         emb_df.filter(query_filter)
@@ -272,7 +294,8 @@ def ivf_topk_batch(
             F.col(id_col).alias("query_id"),
             v.alias("qv"),
             F.explode(
-                ivf_probe_cells(F.col(emb_col), n_cells, nprobe, dim, seed)
+                ivf_probe_cells(F.col(emb_col), n_cells, nprobe, dim, seed,
+                                centroids=centroids)
             ).alias("cell"),
         )
     )
@@ -422,3 +445,117 @@ def ann_topk(
         .orderBy(F.desc("sim"), "vec_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF centroid training (quantized Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncated integer division (toward zero) — the semantics BOTH Spark
+    `div` and DuckDB `//` use for integers (verified: -7//2 == -3 in both).
+    Python's // floors, so spell it out."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def ivf_train_kmeans(
+    emb_df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 4,
+    dim: int = 64,
+    seed: int = 13,
+    emb_col: str = "embedding",
+) -> list[list[int]]:
+    """Train the IVF coarse quantizer with ``iters`` Lloyd iterations in
+    INTEGER fixed-point (k-means over the round(x*1e6) quantized vectors,
+    truncated-division means): data-dependent centroids lift recall
+    massively over the seeded random quantizer on clustered data (the
+    realistic embedding shape) — measured 0.57 → ~1.0 recall@5 at nprobe=1
+    on the planted-cluster fixture (tests/test_ann_recall.py).
+
+    All-integer arithmetic is what makes the DuckDB oracle
+    (``ivf_kmeans_oracle_sql``) agree bit-for-bit: assignment dots are
+    exact int64, means are ``sum div count`` (truncation matches both
+    engines), argmax ties break to the lowest cell, empty cells keep their
+    previous centroid.
+
+    Scale shape: per iteration, one assignment pass (argmax over n_cells
+    literal dots — map-only) + one (cell, dim)-keyed aggregate; the ONLY
+    driver exchange is the n_cells×dim centroid matrix itself (16×64
+    longs here), the irreducible k-means driver state. The quantized
+    vectors are localCheckpoint'ed once and reused across iterations.
+    """
+    v = emb_df.select(quantize_q(F.col(emb_col)).alias("vi")).localCheckpoint(
+        eager=True
+    )
+    cents = [list(cv) for cv in ivf_centroids(n_cells, dim, seed)]
+    for _ in range(iters):
+        assigned = v.select(_argmax_cell(_ivf_scores_q(F.col("vi"), cents)).alias("cell"), "vi")
+        agg = (
+            assigned.select("cell", F.posexplode("vi").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        for r in agg:
+            cents[r["cell"]][r["pos"]] = _trunc_div(int(r["s"]), int(r["n"]))
+    v.unpersist()
+    return cents
+
+
+def ivf_kmeans_oracle_sql(n_cells: int = 16, iters: int = 4, dim: int = 64,
+                          seed: int = 13) -> str:
+    """DuckDB twin of ``ivf_train_kmeans`` + final assignment histogram:
+    the identical quantization, init centroids, argmax tie-break
+    (row_number score DESC, cell ASC), truncated-div means, and
+    empty-cell carry-forward, unrolled as materialized CTEs (the
+    pagerank-oracle pattern)."""
+    cents = ivf_centroids(n_cells, dim, seed)
+    c0_rows = ", ".join(
+        f"({i}, [{', '.join(str(x) for x in cv)}]::BIGINT[])" for i, cv in enumerate(cents)
+    )
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    a{t} AS MATERIALIZED (
+      SELECT vec_id, vi, cell FROM (
+        SELECT e.vec_id, e.vi, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_dot_product(e.vi, c.ctr) DESC, c.cell) AS rn
+        FROM e, {prev} c
+      ) WHERE rn = 1
+    ),
+    u{t} AS (
+      SELECT cell, list(d ORDER BY pos) AS ctr FROM (
+        SELECT cell, pos, CAST(sum(val) AS BIGINT) // count(*) AS d FROM (
+          SELECT a.cell, p.pos, a.vi[p.pos] AS val
+          FROM a{t} a, LATERAL (SELECT unnest(range(1, {dim + 1})) AS pos) p
+        ) GROUP BY cell, pos
+      ) GROUP BY cell
+    ),
+    c{t} AS MATERIALIZED (
+      SELECT p.cell, coalesce(u.ctr, p.ctr) AS ctr
+      FROM {prev} p LEFT JOIN u{t} u ON u.cell = p.cell
+    )""")
+        prev = f"c{t}"
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(round(x * 1e6) AS BIGINT)) AS vi
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (SELECT * FROM (VALUES {c0_rows}) AS t(cell, ctr)),{",".join(steps)},
+    af AS (
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY list_dot_product(e.vi, c.ctr) DESC, c.cell) AS rn
+        FROM e, {prev} c
+      ) WHERE rn = 1
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors, CAST(sum(vec_id) AS BIGINT) AS id_checksum
+    FROM af GROUP BY cell
+    """
