@@ -251,11 +251,20 @@ def test_bucketed_marker_hygiene(spark, corpus_dir):
     assert m["seen_bucket_count"] == 8
 
     # (a) recrawl commits (tombstone + frontier swap) must preserve, not
-    # advance, the marker
-    some = fc.schedule().select("url").limit(2)
-    fc.recrawl(some)
+    # advance, the marker — and unsee must apply the delete to the bucketed
+    # table eagerly (per-bucket rewrite, not wait-for-compaction)
+    some = fc.schedule().select("url", "url_key").limit(2)
+    doomed = {r["url_key"] for r in some.collect()}
+    fc.recrawl(some.select("url"))
     m2 = fc.load_manifest()
     assert m2["seen_bucketed_round"] == 1, "non-round commit advanced the bucketed marker"
+    in_table = {
+        r["url_key"]
+        for r in spark.table(fc._seen_table).where(
+            F.col("url_key").isin(list(doomed))
+        ).collect()
+    }
+    assert in_table == set(), f"unsee left tombstoned keys in the bucketed table: {in_table}"
 
     # (b) bucket-count drift on resume → full rebuild under the new count
     spark.sql(f"DROP TABLE IF EXISTS {fc._seen_table}")

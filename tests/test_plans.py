@@ -279,3 +279,54 @@ def test_incremental_bucketed_layout_plan_and_updates(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_delete_bucketed_incremental_including_emptied_buckets(spark):
+    """Per-bucket deletion for the incremental layout: only affected
+    buckets rewrite; a bucket whose rows are ALL deleted must actually
+    disappear (dynamic overwrite alone would leave its old file — deleted
+    rows would resurrect, and a later MSCK re-registration would
+    resurrect a merely-catalog-dropped partition too)."""
+    import os
+    import shutil
+
+    from warcbase_spark.operators.sinks import (
+        assert_one_file_per_bucket,
+        delete_bucketed_incremental,
+        register_bucketed_incremental,
+        write_bucketed_incremental_init,
+    )
+
+    path = "/tmp/warcbase_spark_testfix/inc_bucketed_del"
+    shutil.rmtree(path, ignore_errors=True)
+    tbl = "inc_bucketed_del_testtbl"
+    base = spark.range(400).select(F.concat(F.lit("k"), F.col("id")).alias("url_key"))
+    write_bucketed_incremental_init(base, tbl, path, key="url_key", n_buckets=4)
+    try:
+        rows = spark.table(tbl).collect()
+        by_bucket: dict = {}
+        for r in rows:
+            by_bucket.setdefault(r["pbucket"], []).append(r["url_key"])
+        # delete EVERY key of one bucket + a few keys of another
+        full_b = min(by_bucket, key=lambda b: len(by_bucket[b]))
+        partial_b = next(b for b in by_bucket if b != full_b)
+        doomed = list(by_bucket[full_b]) + by_bucket[partial_b][:3]
+        keys = spark.createDataFrame([(k,) for k in doomed], "url_key string")
+        affected = delete_bucketed_incremental(spark, tbl, keys, key="url_key", n_buckets=4)
+        assert set(affected) == {full_b, partial_b}
+        left = {r["url_key"] for r in spark.table(tbl).collect()}
+        assert left == {r["url_key"] for r in rows} - set(doomed)
+        assert not os.path.isdir(f"{path}/pbucket={full_b}")  # files gone too
+        assert_one_file_per_bucket(spark, tbl)
+        # idempotent: re-deleting the same keys is a no-op
+        delete_bucketed_incremental(spark, tbl, keys, key="url_key", n_buckets=4)
+        assert spark.table(tbl).count() == len(left)
+        # resume re-registration (MSCK) must NOT resurrect the emptied bucket
+        spark.sql(f"DROP TABLE {tbl}")
+        register_bucketed_incremental(
+            spark, tbl, path, "url_key STRING", key="url_key", n_buckets=4
+        )
+        assert {r["url_key"] for r in spark.table(tbl).collect()} == left
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)

@@ -261,3 +261,49 @@ def register_bucketed_incremental(
             LOCATION '{path}'"""
     )
     spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
+def delete_bucketed_incremental(
+    spark, table: str, keys: DataFrame, key: str, n_buckets: int = 32
+) -> list[int]:
+    """Delete ``keys`` from the incremental bucketed table, rewriting ONLY
+    the affected bucket-partitions — the recrawl/tombstone operation for a
+    bucketed membership set (the cuckoo filter's delete, at the durable
+    layout level). Idempotent. Returns the affected bucket ids.
+
+    Edge case that matters: dynamic partition overwrite only rewrites
+    partitions PRESENT in the written data — a bucket whose rows are all
+    deleted would be absent from the output and its old file would
+    SURVIVE (deleted rows resurrect). Such buckets are dropped explicitly
+    (catalog partition + the external dir itself; files must go too or a
+    later MSCK on re-registration would resurrect them).
+    """
+    import shutil
+
+    d = keys.select(key).withColumn("pbucket", _pbucket_col(key, n_buckets)).localCheckpoint(
+        eager=False
+    )
+    affected = sorted(r["pbucket"] for r in d.select("pbucket").distinct().collect())
+    if not affected:
+        return []
+    old = spark.table(table).where(F.col("pbucket").isin(affected))
+    remaining = old.join(d.select(key), key, "left_anti").localCheckpoint(eager=False)
+    keep_buckets = {r["pbucket"] for r in remaining.select("pbucket").distinct().collect()}
+    emptied = [b for b in affected if b not in keep_buckets]
+    if keep_buckets:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            remaining.repartition(n_buckets, F.col(key)).write.mode("overwrite").insertInto(table)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        location = (
+            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+            .where(F.col("col_name") == "Location")
+            .collect()[0]["data_type"]
+        ).removeprefix("file:")
+        for b in emptied:
+            spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (pbucket={b})")
+            shutil.rmtree(os.path.join(location, f"pbucket={b}"), ignore_errors=True)
+    return affected
