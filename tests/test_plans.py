@@ -330,3 +330,37 @@ def test_delete_bucketed_incremental_including_emptied_buckets(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_ivf_cell_partitioned_store_prunes(spark):
+    """The IVF docstrings claim 'cell is the vector table's partition key
+    at cluster scale' — prove the shape: store embeddings partitioned by
+    their IVF cell, and a point lookup's `cell IN (...)` filter must reach
+    the scan as a PARTITION filter (only nprobe of n_cells directories
+    read), not a post-scan row filter."""
+    import shutil
+
+    from warcbase_spark.operators.similarity import ivf_cell
+
+    path = "/tmp/warcbase_spark_testfix/emb_by_cell"
+    shutil.rmtree(path, ignore_errors=True)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb.withColumn("cell", ivf_cell(F.col("embedding"), 16, 64, 13)).write.partitionBy(
+        "cell"
+    ).parquet(path)
+    try:
+        store = spark.read.parquet(path)
+        probe = store.where(F.col("cell").isin([3, 7]))
+        plan = plan_of(probe)
+        assert "PartitionFilters" in plan
+        seg = plan.split("PartitionFilters", 1)[1][:120]
+        assert "cell" in seg  # the IN filter prunes directories, pre-scan
+        # and the pruned scan reads only the 2 probed cells' rows
+        full = store.where(F.col("cell").isin([3, 7])).count()
+        by_cell = dict(
+            (r["cell"], r["n"])
+            for r in store.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        )
+        assert full == by_cell.get(3, 0) + by_cell.get(7, 0)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
