@@ -253,9 +253,12 @@ def test_bucketed_marker_hygiene(spark, corpus_dir):
     # (a) recrawl commits (tombstone + frontier swap) must preserve, not
     # advance, the marker — and unsee must apply the delete to the bucketed
     # table eagerly (per-bucket rewrite, not wait-for-compaction)
-    some = fc.schedule().select("url", "url_key").limit(2)
-    doomed = {r["url_key"] for r in some.collect()}
-    fc.recrawl(some.select("url"))
+    # materialize the picked rows FIRST: limit(2) with no ORDER BY is not
+    # stable across re-executions, and recrawl would re-run the lazy plan —
+    # possibly tombstoning different keys than `doomed` asserts on
+    picked = fc.schedule().select("url", "url_key").limit(2).collect()
+    doomed = {r["url_key"] for r in picked}
+    fc.recrawl(spark.createDataFrame([(r["url"],) for r in picked], "url string"))
     m2 = fc.load_manifest()
     assert m2["seen_bucketed_round"] == 1, "non-round commit advanced the bucketed marker"
     in_table = {

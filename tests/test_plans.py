@@ -355,12 +355,26 @@ def test_ivf_cell_partitioned_store_prunes(spark):
         assert "PartitionFilters" in plan
         seg = plan.split("PartitionFilters", 1)[1][:120]
         assert "cell" in seg  # the IN filter prunes directories, pre-scan
-        # and the pruned scan reads only the 2 probed cells' rows
-        full = store.where(F.col("cell").isin([3, 7])).count()
-        by_cell = dict(
-            (r["cell"], r["n"])
-            for r in store.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        # read-side proof via the executed scan's OWN metrics: numFiles must
+        # equal the two probed cells' file count, not the whole table's
+        # (inputFiles() can't show this — it resolves the unpruned relation)
+        probe.collect()
+        import os as _os
+
+        def _nfiles(d):
+            return sum(1 for f in _os.listdir(f"{path}/{d}") if f.startswith("part-"))
+
+        expect_files = _nfiles("cell=3") + _nfiles("cell=7")
+        total_files = sum(
+            _nfiles(d) for d in _os.listdir(path) if d.startswith("cell=")
         )
-        assert full == by_cell.get(3, 0) + by_cell.get(7, 0)
+        leaves = probe._jdf.queryExecution().executedPlan().collectLeaves()
+        scanned = None
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            if "FileScan" in node.nodeName() or "Scan parquet" in node.nodeName():
+                scanned = node.metrics().apply("numFiles").value()
+        assert scanned == expect_files, f"scan read {scanned} files, expected {expect_files}"
+        assert expect_files < total_files  # pruning actually skipped dirs
     finally:
         shutil.rmtree(path, ignore_errors=True)

@@ -765,41 +765,43 @@ class FrontierCrawl:
             .cache()
         )
         n = keys.count()  # THIS call's key count, not the dir's running total
-        out = f"{self.state_dir}/tombstones/round={last:05d}"
-        # append, not overwrite: two unsee() calls in the same round must
-        # both survive (duplicate keys are harmless — max ts_round wins)
-        keys.write.mode("append").parquet(out)
-        m_bkts = (self.load_manifest() or {}).get("seen_bucket_count")
-        if (
-            self.seen_layout == "bucketed"
-            and os.path.isdir(self._seen_bucketed_path)
-            and m_bkts == self.seen_buckets  # drift → next sync rebuilds anyway
-        ):
-            # apply the delete to the bucketed layout eagerly (per-bucket
-            # rewrite) — every current row of these keys has
-            # first_round <= last, so dropping the keys outright equals the
-            # tombstone rule; a later re-discovery re-upserts with a newer
-            # first_round that the read-side filter keeps. The tombstone
-            # dirs remain the durable truth: a crash between the append
-            # above and this delete is covered by _apply_tombstones, and
-            # re-running unsee re-deletes (no-op). Without this, deleted
-            # rows linger (read-filtered) until the compaction rebuild.
-            from warcbase_spark.operators.sinks import (
-                delete_bucketed_incremental,
-                register_bucketed_incremental,
-            )
+        try:
+            out = f"{self.state_dir}/tombstones/round={last:05d}"
+            # append, not overwrite: two unsee() calls in the same round must
+            # both survive (duplicate keys are harmless — max ts_round wins)
+            keys.write.mode("append").parquet(out)
+            m_bkts = (self.load_manifest() or {}).get("seen_bucket_count")
+            if (
+                self.seen_layout == "bucketed"
+                and os.path.isdir(self._seen_bucketed_path)
+                and m_bkts == self.seen_buckets  # drift → next sync rebuilds anyway
+            ):
+                # apply the delete to the bucketed layout eagerly (per-bucket
+                # rewrite) — every current row of these keys has
+                # first_round <= last, so dropping the keys outright equals the
+                # tombstone rule; a later re-discovery re-upserts with a newer
+                # first_round that the read-side filter keeps. The tombstone
+                # dirs remain the durable truth: a crash between the append
+                # above and this delete is covered by _apply_tombstones, and
+                # re-running unsee re-deletes (no-op). Without this, deleted
+                # rows linger (read-filtered) until the compaction rebuild.
+                from warcbase_spark.operators.sinks import (
+                    delete_bucketed_incremental,
+                    register_bucketed_incremental,
+                )
 
-            if not self.spark.catalog.tableExists(self._seen_table):
-                register_bucketed_incremental(
-                    self.spark, self._seen_table, self._seen_bucketed_path,
-                    "url_key STRING, url_hash BIGINT, first_round INT",
+                if not self.spark.catalog.tableExists(self._seen_table):
+                    register_bucketed_incremental(
+                        self.spark, self._seen_table, self._seen_bucketed_path,
+                        "url_key STRING, url_hash BIGINT, first_round INT",
+                        key="url_key", n_buckets=self.seen_buckets,
+                    )
+                delete_bucketed_incremental(
+                    self.spark, self._seen_table, keys.select("url_key"),
                     key="url_key", n_buckets=self.seen_buckets,
                 )
-            delete_bucketed_incremental(
-                self.spark, self._seen_table, keys.select("url_key"),
-                key="url_key", n_buckets=self.seen_buckets,
-            )
-        keys.unpersist()
+        finally:
+            keys.unpersist()
         return n
 
     def recrawl(self, urls: DataFrame, url_col: str = "url", priority: int = 0) -> None:

@@ -487,9 +487,13 @@ def ivf_train_kmeans(
     longs here), the irreducible k-means driver state. The quantized
     vectors are localCheckpoint'ed once and reused across iterations.
     """
-    v = emb_df.select(quantize_q(F.col(emb_col)).alias("vi")).localCheckpoint(
-        eager=True
-    )
+    # cache, not localCheckpoint: quantize_q is a deterministic map (no
+    # sampled boundaries), so eviction-recompute is harmless — and
+    # DataFrame.unpersist actually frees cacheManager entries, while
+    # localCheckpoint blocks would outlive the call (bench runs this
+    # repeatedly; leaked blocks = position-dependent GC pressure)
+    v = emb_df.select(quantize_q(F.col(emb_col)).alias("vi")).cache()
+    v.count()
     cents = [list(cv) for cv in ivf_centroids(n_cells, dim, seed)]
     for _ in range(iters):
         assigned = v.select(_argmax_cell(_ivf_scores_q(F.col("vi"), cents)).alias("cell"), "vi")

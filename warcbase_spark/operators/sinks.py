@@ -121,6 +121,23 @@ def write_bucketed(
     )
 
 
+def _table_location(spark, table: str) -> str:
+    """Local filesystem path of a catalog table. Refuses non-local URIs:
+    every caller here does os-level file inspection/surgery that only
+    means anything on a local path."""
+    location = (
+        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+        .where(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    if "://" in location and not location.startswith("file:"):
+        raise ValueError(
+            f"table {table} location {location!r} is not a local path; "
+            "file-level bucket surgery/validation requires file:"
+        )
+    return location.removeprefix("file:")
+
+
 def assert_one_file_per_bucket(spark, table: str) -> None:
     """Read-side guard for the session-wide
     ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` flag
@@ -132,12 +149,7 @@ def assert_one_file_per_bucket(spark, table: str) -> None:
     import collections
     import re
 
-    location = (
-        spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
-        .where(F.col("col_name") == "Location")
-        .collect()[0]["data_type"]
-    )
-    path = location.removeprefix("file:")
+    path = _table_location(spark, table)
     per_bucket: dict[int, int] = collections.defaultdict(int)
     unbucketed: list[str] = []
     # walk: a flat bucketed table keeps files at the root; the incremental
@@ -235,7 +247,11 @@ def upsert_bucketed_incremental(
     if not affected:
         return []
     old = spark.table(table).where(F.col("pbucket").isin(affected))
-    merged = old.join(d.select(key), key, "left_anti").unionByName(d)
+    # insertInto matches by POSITION and a USING-column left_anti join moves
+    # the key to column 0 — re-select the table's own column order or a
+    # non-key-first schema gets silently column-swapped
+    cols = spark.table(table).columns
+    merged = old.join(d.select(key), key, "left_anti").unionByName(d).select(*cols)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -287,7 +303,11 @@ def delete_bucketed_incremental(
     if not affected:
         return []
     old = spark.table(table).where(F.col("pbucket").isin(affected))
-    remaining = old.join(d.select(key), key, "left_anti").localCheckpoint(eager=False)
+    cols = spark.table(table).columns
+    # positional insertInto + USING-join column reorder: see upsert note
+    remaining = (
+        old.join(d.select(key), key, "left_anti").select(*cols).localCheckpoint(eager=False)
+    )
     keep_buckets = {r["pbucket"] for r in remaining.select("pbucket").distinct().collect()}
     emptied = [b for b in affected if b not in keep_buckets]
     if keep_buckets:
@@ -298,12 +318,13 @@ def delete_bucketed_incremental(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     if emptied:
-        location = (
-            spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
-            .where(F.col("col_name") == "Location")
-            .collect()[0]["data_type"]
-        ).removeprefix("file:")
+        location = _table_location(spark, table)
         for b in emptied:
             spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (pbucket={b})")
-            shutil.rmtree(os.path.join(location, f"pbucket={b}"), ignore_errors=True)
+            bdir = os.path.join(location, f"pbucket={b}")
+            shutil.rmtree(bdir, ignore_errors=True)
+            if os.path.isdir(bdir):
+                # the files MUST go (the docstring's invariant): a surviving
+                # dir + a later MSCK re-registration resurrects deleted rows
+                raise OSError(f"could not remove emptied bucket dir {bdir}")
     return affected
