@@ -526,7 +526,11 @@ def test_ivf_topk_matches_numpy(spark):
 def test_ivf_batch_matches_per_query_and_no_collect(spark):
     """Batch IVF must return, for EVERY query, exactly what the single-query
     ivf_topk returns — and keep the whole fan-out in one plan (no
-    per-query driver collect, no per-row Python)."""
+    per-query driver collect, no ROW-AT-A-TIME Python). Since r06 the cell
+    assignment / probe ranking run as Arrow-VECTORIZED int64-matmul batches
+    (ivf_cell_np_udf — bit-exact, same pattern as the frontier's
+    canonicalizer), so the plan carries ArrowEvalPython nodes but must
+    never contain BatchEvalPython."""
     from warcbase_spark.operators.similarity import ivf_topk, ivf_topk_batch
 
     rng = np.random.RandomState(12)
@@ -539,7 +543,7 @@ def test_ivf_batch_matches_per_query_and_no_collect(spark):
         dim=8, seed=13,
     )
     plan = batch._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
 
     got = {}
     for r in batch.collect():

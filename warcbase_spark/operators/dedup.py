@@ -37,11 +37,40 @@ def shingles_col(text, k: int = 3) -> F.Column:
 
 def doc_shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  k: int = 3) -> DataFrame:
-    """(doc, sh) distinct shingle set per document."""
-    return (
-        docs.select(F.col(id_col).alias("doc"), F.explode(shingles_col(F.col(text_col), k)).alias("sh"))
-        .distinct()
+    """(doc, sh) distinct shingle set per document.
+
+    Shape (r06 optimization, result-identical):
+
+    - the token array is MATERIALIZED as a column in its own Project below
+      the Generate before the shingle ``transform`` reads it. Referencing
+      the tokenizer expression inside the lambda (the old
+      ``shingles_col(text)`` inlining) re-evaluates
+      regexp_replace+lower+split once per ``element_at`` — 3 tokenizer
+      passes per shingle, O(words²) regex work per document (measured 12×
+      of this operator's cost at 50k docs; guide §4.2's "expression
+      choice" point). ``_w`` is referenced many times and is non-cheap, so
+      CollapseProject keeps the barrier.
+    - per-doc dedup is ``array_distinct`` on the shingle array (per-row,
+      shuffle-free) instead of a global ``.distinct()``: (doc, sh) rows
+      from different docs are already distinct, so the output SET is
+      identical with one less Exchange of the full shingle table
+      (guide §2.4).
+    - the scan is ``spread_scan``-ed: a single-rowgroup parquet input
+      otherwise runs all tokenization on one task (guide §2.5).
+    """
+    from warcbase_spark.functions.layout import spread_scan
+
+    toks = spread_scan(docs).select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("_w")
     )
+    w = F.col("_w")
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    sh_arr = F.when(
+        n >= k,
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j + 1) for j in range(k)])),
+    ).otherwise(F.array())
+    return toks.select("doc", F.explode(F.array_distinct(sh_arr)).alias("sh"))
 
 
 def minhash_chunk(i: int, col: str = "sh") -> F.Column:
@@ -90,9 +119,20 @@ def minhash_signatures(
         F.md5(F.concat(F.lit("a:"), F.col("sh"))).alias("_da"),
         F.md5(F.concat(F.lit("b:"), F.col("sh"))).alias("_db"),
     )
+    # The 8-hex-char chunk is parsed to a LONG before the min: an 8-char
+    # lowercase-hex string's lexicographic order IS its numeric order
+    # (fixed width, zero-padded), so min-of-longs selects the same hash
+    # per (doc, i) and the downstream (band, v) bucketing — the ONLY thing
+    # signature values feed — is bit-identical to the hex-string form the
+    # DuckDB oracle uses. The win: min(string) plans as SortAggregate
+    # (strings have no mutable agg buffer — the shingle table gets sorted
+    # per evaluation), min(long) as a map-side-combining HashAggregate
+    # (guide §1.2 "per-task work").
     aggs = [
         F.min(
-            F.substring(F.col("_da" if i < 4 else "_db"), (i % 4) * 8 + 1, 8)
+            F.conv(
+                F.substring(F.col("_da" if i < 4 else "_db"), (i % 4) * 8 + 1, 8), 16, 10
+            ).cast("long")
         ).alias(f"sig{i}")
         for i in range(n_hashes)
     ]
@@ -104,6 +144,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 8,
     bucket_cap: int | None = None,
     cap_mode: str = "drop",
+    cache_registry: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Banded LSH with band width 1: docs sharing ANY signature value are
     candidates. The self-join is per (band, value) bucket — the classic
@@ -119,7 +160,19 @@ def lsh_candidate_pairs(
       gracefully while the join stays bounded at size·cap.
     The hot-bucket list is ≤ n/cap rows → broadcast (anti-)join, no extra
     full shuffle of the bands.
+
+    ``sigs`` is cached here: the band table derives from it three times
+    (hot-bucket count, a-leg, b-leg of the self-join), and without the
+    cache each reference re-runs the full signature aggregation over the
+    shingle table — the executed plan showed the whole min-hash pipeline
+    THREE times (guide §2.4 / §5 "caching is worth it when a DataFrame is
+    reused"). The cache is one row per doc (8 longs) — tiny. Callers with
+    a release hook pass ``cache_registry`` (the training pipeline does);
+    bench repeats are isolated by bench.py's clearCache.
     """
+    sigs = sigs.cache()
+    if cache_registry is not None:
+        cache_registry.append(sigs)
     bands = sigs.select(
         "doc",
         F.explode(
@@ -170,20 +223,52 @@ def rare_shingles(sh: DataFrame, max_df: int) -> DataFrame:
     return sh.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
 
 
-def verified_jaccard(pairs: DataFrame, sh: DataFrame, min_inter: int = 3) -> DataFrame:
+VERIFY_BROADCAST_SHINGLE_LIMIT = 8_000_000
+
+
+def verified_jaccard(
+    pairs: DataFrame,
+    sh: DataFrame,
+    min_inter: int = 3,
+    broadcast_shingle_limit: int = VERIFY_BROADCAST_SHINGLE_LIMIT,
+) -> DataFrame:
     """Exact shingle-set Jaccard evidence for candidate pairs, integer-only:
-    (a, b, inter, union_sz) with inter >= min_inter."""
-    sa = sh.select(F.col("doc").alias("a"), "sh")
-    sb = sh.select(F.col("doc").alias("b"), "sh")
-    inter = (
-        pairs.join(sa, "a").join(sb, ["b", "sh"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    (a, b, inter, union_sz) with inter >= min_inter.
+
+    r06 algorithm change (result-identical, A/B'd 228.9s → 8.9s on 8.19M
+    candidate pairs at sf1.0, parity ``exceptAll`` both ways = 0 rows):
+    the old form joined ``pairs`` against the exploded shingle table twice
+    — the a-leg join expands to Σ_pairs |shingles(a)| rows (~390M at
+    sf1.0) which then sort-merge through a (b, sh)-keyed Exchange; the
+    dominant cost of the whole minhash query (guide §2.3 "shuffle fewer
+    bytes" / §1.2 "the distributed algorithm"). Instead, collapse the
+    shingle table to one ARRAY row per doc and compute
+    ``size(array_intersect(...))`` per pair: per-pair work is the same
+    O(na+nb) hash intersection, but nothing explodes — the pair table is
+    streamed through two hash joins.
+
+    Broadcast gate (same crossover pattern as seen.py / decontaminate):
+    below ``broadcast_shingle_limit`` total shingle rows (~hundreds of MB
+    framed) the per-doc array table is broadcast, so the 8M-row pair table
+    is never shuffled at all; past the gate both joins fall back to
+    AQE-planned shuffle joins (arrays ride the pair shuffle — still far
+    cheaper than the exploded form). The gate's count is one job over the
+    (caller-cached) shingle table.
+    """
+    arr = sh.groupBy("doc").agg(
+        F.collect_list("sh").alias("_arr"), F.count(F.lit(1)).alias("_n")
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    n_shingles = sh.agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"]
+    if n_shingles <= broadcast_shingle_limit:
+        arr = F.broadcast(arr)
+    aa = arr.select(F.col("doc").alias("a"), F.col("_arr").alias("_aa"), F.col("_n").alias("na"))
+    ab = arr.select(F.col("doc").alias("b"), F.col("_arr").alias("_ab"), F.col("_n").alias("nb"))
     return (
-        inter.join(sizes.select(F.col("doc").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb")), "b")
+        pairs.join(aa, "a")
+        .join(ab, "b")
+        # size() is int — cast to long so the (a, b, inter, union_sz)
+        # schema is bit-identical to the old count(*)-based evidence
+        .withColumn("inter", F.size(F.array_intersect("_aa", "_ab")).cast("long"))
         .withColumn("union_sz", F.col("na") + F.col("nb") - F.col("inter"))
         .filter(F.col("inter") >= min_inter)
         .select("a", "b", "inter", "union_sz")

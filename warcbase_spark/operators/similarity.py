@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -37,6 +39,21 @@ def as_double(emb) -> Column:
 
 def dot(a, b) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def dot_flat(a, b, dim: int) -> Column:
+    """Fixed-width dot product as a FLAT expression tree — bit-identical to
+    ``dot`` (same left-associative fold order: 0.0 + p1 + ... + p_dim over
+    double), but codegen-compiled instead of interpreted: higher-order
+    functions (aggregate/zip_with) are CodegenFallback in Spark, so ``dot``
+    allocates a zipped array and evaluates an interpreted lambda per
+    element per row — measured ~50× slower per pair on the 64-dim
+    candidate joins (guide §1.2 "per-task work"). Requires both arrays to
+    have exactly ``dim`` elements (every embedding here does)."""
+    s: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        s = s + F.element_at(a, i) * F.element_at(b, i)
+    return s
 
 
 def cosine(a, b) -> Column:
@@ -67,8 +84,27 @@ def hyperplane_bucket(emb, n_bits: int = 8, dim: int = 64, seed: int = 7) -> Col
     bit_i = 1 iff Σ_d round(emb[d]·1e6) · s_i[d] >= 0 with s_i ∈ {±1}^dim
     seeded — integer arithmetic end-to-end, so the DuckDB mirror
     (list_sum over list_transform with the same literals) is bit-exact.
-    """
-    q = F.transform(emb, lambda x: F.round(x.cast("double") * 1e6, 0).cast("long"))
+
+    Column-expression form: the quantization is INLINED per bit, so this
+    re-evaluates the round/cast transform n_bits times per row. Hot paths
+    materialize ``quantize_q`` as a column once and use
+    ``hyperplane_bucket_q`` instead (guide §1.2) — identical result (the
+    ±1 products become flat signed adds over the same longs, same
+    left-assoc order, exact integer arithmetic)."""
+    return hyperplane_bucket_q(quantize_q(emb), n_bits, dim, seed)
+
+
+def hyperplane_bucket_q(q, n_bits: int = 8, dim: int = 64, seed: int = 7) -> Column:
+    """``hyperplane_bucket`` over a pre-quantized (``quantize_q``) column:
+    the n_bits per-bit dots read the SAME materialized fixed-point array
+    instead of re-running the round/cast transform per bit (the old form's
+    cost). The dots stay aggregate(zip_with) folds on purpose: a flat
+    n_bits×dim expression tree exceeds janino's 64 KB method limit
+    ("Code grows beyond 64 KB"), and Spark's fallback — a failed multi-
+    second compile attempt plus interpreted evaluation of the giant tree —
+    measured strictly slower than the fold. These run once per VECTOR row
+    (not per pair), so interpreted cost is bounded; per-PAIR kernels use
+    ``dot_flat`` which is small enough to compile."""
     out = F.lit(0)
     for i, signs in enumerate(hyperplane_signs(n_bits, dim, seed)):
         sv = F.array(*[F.lit(s) for s in signs])
@@ -90,6 +126,27 @@ def hyperplane_bucket_sql(emb_sql: str, n_bits: int = 8, dim: int = 64, seed: in
             f"[{lits}]), p -> p[1] * p[2])) >= 0 THEN {1 << i} ELSE 0 END"
         )
     return "(" + " + ".join(parts) + ")"
+
+
+def hyperplane_np_udf(n_bits: int, dim: int, seed: int):
+    """Arrow-vectorized hyperplane-bucket kernel over pre-quantized int64
+    arrays: bucket = Σ_i 2^i·[q·s_i ≥ 0] with the SAME seeded ±1 planes as
+    ``hyperplane_bucket_q``. Pure int64 matmul + sign test — exact, so the
+    bucket ids are bit-identical to the Column-expression form (and to the
+    DuckDB mirror). Replaces an interpreted ~n_bits×dim HOF fold per row."""
+    import numpy as np
+
+    S = np.asarray(hyperplane_signs(n_bits, dim, seed), dtype=np.int64).T  # (dim, n_bits)
+    W = (1 << np.arange(n_bits, dtype=np.int64))
+
+    @F.pandas_udf("int")
+    def bucket_np(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype="int32")
+        Q = np.stack(qs.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series((((Q @ S) >= 0) @ W).astype("int32"))
+
+    return bucket_np
 
 
 def _drop_hot_buckets(e: DataFrame, bucket_cap: int | None, key: str = "bkt") -> DataFrame:
@@ -119,21 +176,41 @@ def bucketed_neighbors(
     bucket_cap: int | None = None,
     use_hyperplanes: bool = True,
 ) -> DataFrame:
-    """All same-bucket pairs (a < b) with cosine — the LSH candidate join."""
+    """All same-bucket pairs (a < b) with cosine — the LSH candidate join.
+
+    r06 shape (result-identical): the scan is spread (single-rowgroup
+    parquet = one task), the fixed-point vector is materialized ONCE per
+    row for the bucket bits (not re-quantized per bit), the vector norm
+    is computed once per VECTOR below the join instead of once per pair,
+    and all dots are flat codegen sums (``dot_flat`` — same fold order,
+    bit-identical doubles)."""
+    from warcbase_spark.functions.layout import spread_scan
+
     v = as_double(F.col(emb_col))
-    bkt = (
-        hyperplane_bucket(F.col(emb_col), n_bits, dim, seed)
-        if use_hyperplanes
-        else sign_bucket(v, n_bits)
-    )
-    e = emb_df.select(F.col(id_col).alias("id"), v.alias("v"), bkt.alias("bkt"))
+    src = spread_scan(emb_df)
+    if use_hyperplanes:
+        base = src.select(
+            F.col(id_col).alias("id"), v.alias("v"),
+            quantize_q(F.col(emb_col)).alias("_q"),
+        )
+        e = base.select(
+            "id", "v", hyperplane_np_udf(n_bits, dim, seed)(F.col("_q")).alias("bkt")
+        )
+    else:
+        e = src.select(F.col(id_col).alias("id"), v.alias("v"), sign_bucket(v, n_bits).alias("bkt"))
+    e = e.select("id", "v", "bkt", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)).alias("_n"))
     e = _drop_hot_buckets(e, bucket_cap)
-    a = e.select(F.col("id").alias("a"), F.col("v").alias("va"), "bkt")
-    b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bkt")
+    a = e.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("_n").alias("na"), "bkt")
+    b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("_n").alias("nb"), "bkt")
     return (
         a.join(b, "bkt")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 3).alias("sim"))
+        .select(
+            "a", "b",
+            F.round(
+                dot_flat(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 3
+            ).alias("sim"),
+        )
     )
 
 
@@ -156,7 +233,11 @@ def quantize_q(emb) -> Column:
 
 def _ivf_scores_q(q, cents: list[list[int]]) -> list[Column]:
     """Integer inner-product scores of a pre-quantized vector against each
-    centroid literal."""
+    centroid literal. Kept as aggregate(zip_with) folds: a flat
+    n_cells×dim expression tree blows janino's 64 KB method limit and the
+    failed-compile-plus-interpreted fallback is slower than the fold (see
+    hyperplane_bucket_q). Assignment runs once per VECTOR row; per-PAIR
+    cosines use the compilable ``dot_flat``."""
     out = []
     for cv in cents:
         sv = F.array(*[F.lit(s) for s in cv])
@@ -172,7 +253,12 @@ def _ivf_scores_q(q, cents: list[list[int]]) -> list[Column]:
 
 def _ivf_scores(emb, cents: list[list[int]]) -> list[Column]:
     """Integer inner-product score of the fixed-point embedding against each
-    centroid (spherical-k-means-style assignment — argmax inner product)."""
+    centroid (spherical-k-means-style assignment — argmax inner product).
+
+    Column-expression form: the quantize transform is inlined once per
+    centroid. Hot paths materialize ``quantize_q`` as a column once and
+    call ``_ivf_scores_q`` so each element quantizes once per row, not
+    once per centroid."""
     return _ivf_scores_q(quantize_q(emb), cents)
 
 
@@ -199,6 +285,62 @@ def ivf_cell(emb, n_cells: int = 16, dim: int = 64, seed: int = 13,
     return _argmax_cell(_ivf_scores(emb, cents))
 
 
+def ivf_cell_q(q, n_cells: int = 16, dim: int = 64, seed: int = 13,
+               centroids: "list[list[int]] | None" = None) -> Column:
+    """``ivf_cell`` over a pre-quantized (``quantize_q``) column — each
+    element quantizes once per row instead of once per centroid."""
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim, seed)
+    return _argmax_cell(_ivf_scores_q(q, cents))
+
+
+def ivf_cell_np_udf(cents: list[list[int]]):
+    """Arrow-vectorized argmax-cell kernel over pre-quantized int64 arrays
+    (guide §4.2 — hand whole batches to a native vectorized library).
+
+    Bit-exact by construction: the ONLY rounding (quantize_q's
+    round(x·1e6)) stays in the JVM; this kernel is a pure int64 matmul +
+    argmax. numpy int64 @ int64 is exact at these magnitudes (|dot| ≲
+    1.6e15 < 2^63), and ``argmax`` returns the FIRST max — the same
+    lowest-cell tie-break as ``_argmax_cell``'s pref field. Catalyst's
+    interpreted HOF fold costs ~5 ms/row for the 16×64 argmax (HOF
+    lambdas are CodegenFallback, and the flat expression alternative blows
+    janino's 64 KB method limit); the numpy batch kernel measures ~µs/row.
+    """
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64).T  # (dim, n_cells)
+
+    @F.pandas_udf("int")
+    def cell_np(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype="int32")
+        Q = np.stack(qs.to_numpy()).astype(np.int64, copy=False)
+        return pd.Series(np.argmax(Q @ C, axis=1).astype("int32"))
+
+    return cell_np
+
+
+def ivf_probes_np_udf(cents: list[list[int]], nprobe: int):
+    """Arrow-vectorized probe-cell kernel: top-``nprobe`` cells per query,
+    (score DESC, cell ASC) — ``argsort(-scores, kind='stable')`` keeps the
+    ascending-cell order on score ties, identical to the negated-score
+    struct sort of ``ivf_probe_cells``. Same exact-int64 argument as
+    ``ivf_cell_np_udf``."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64).T
+
+    @F.pandas_udf("array<int>")
+    def probes_np(qs: pd.Series) -> pd.Series:
+        if len(qs) == 0:
+            return pd.Series([], dtype=object)
+        Q = np.stack(qs.to_numpy()).astype(np.int64, copy=False)
+        idx = np.argsort(-(Q @ C), axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(idx))
+
+    return probes_np
+
+
 def ivf_topk(
     emb_df: DataFrame,
     query_id: int,
@@ -217,12 +359,18 @@ def ivf_topk(
     then the candidate filter is a literal ``cell IN (...)`` — the shape
     that becomes partition pruning when the table is stored
     partitioned-by-cell."""
+    from warcbase_spark.functions.layout import spread_scan
+
     cents = ivf_centroids(n_cells, dim, seed)
     v = as_double(F.col(emb_col))
-    e = emb_df.select(
-        F.col(id_col).alias("vec_id"),
-        v.alias("v"),
-        ivf_cell(F.col(emb_col), n_cells, dim, seed).alias("cell"),
+    base = spread_scan(emb_df).select(
+        F.col(id_col).alias("vec_id"), v.alias("v"),
+        quantize_q(F.col(emb_col)).alias("_q"),
+    )
+    e = base.select(
+        "vec_id", "v",
+        ivf_cell_q(F.col("_q"), n_cells, dim, seed).alias("cell"),
+        F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)).alias("_n"),
     )
     qscores = (
         emb_df.filter(F.col(id_col) == query_id)
@@ -230,11 +378,18 @@ def ivf_topk(
         .collect()[0]["s"]
     )
     probes = sorted(range(n_cells), key=lambda i: (-qscores[i], i))[:nprobe]
-    q = e.filter(F.col("vec_id") == query_id).select(F.col("v").alias("qv"))
+    q = e.filter(F.col("vec_id") == query_id).select(
+        F.col("v").alias("qv"), F.col("_n").alias("qn")
+    )
     return (
         e.filter(F.col("cell").isin(probes) & (F.col("vec_id") != query_id))
         .join(F.broadcast(q))
-        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 3).alias("sim"))
+        .select(
+            "vec_id",
+            F.round(
+                dot_flat(F.col("v"), F.col("qv"), dim) / (F.col("_n") * F.col("qn")), 3
+            ).alias("sim"),
+        )
         .orderBy(F.desc("sim"), "vec_id")
         .limit(k)
     )
@@ -249,9 +404,21 @@ def ivf_probe_cells(emb, n_cells: int = 16, nprobe: int = 2, dim: int = 64,
     first, sliced to nprobe. Each centroid-score expression appears exactly
     once in the plan (same discipline as ``ivf_cell``)."""
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim, seed)
+    return _probe_cells_from_scores(_ivf_scores(emb, cents), nprobe)
+
+
+def ivf_probe_cells_q(q, n_cells: int = 16, nprobe: int = 2, dim: int = 64,
+                      seed: int = 13,
+                      centroids: "list[list[int]] | None" = None) -> Column:
+    """``ivf_probe_cells`` over a pre-quantized (``quantize_q``) column."""
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim, seed)
+    return _probe_cells_from_scores(_ivf_scores_q(q, cents), nprobe)
+
+
+def _probe_cells_from_scores(scores: list[Column], nprobe: int) -> Column:
     structs = [
         F.struct((-s).alias("nscore"), F.lit(i).alias("cell"))
-        for i, s in enumerate(_ivf_scores(emb, cents))
+        for i, s in enumerate(scores)
     ]
     ranked = F.array_sort(F.array(*structs))
     return F.transform(F.slice(ranked, 1, nprobe), lambda x: x.getField("cell"))
@@ -282,21 +449,32 @@ def ivf_topk_batch(
     broadcastable for point/batch lookups, an even hash-shuffle join for
     corpus-vs-corpus retrieval. No per-query work ever touches the
     driver."""
+    from warcbase_spark.functions.layout import spread_scan
+
     v = as_double(F.col(emb_col))
-    e = emb_df.select(
-        F.col(id_col).alias("vec_id"),
-        v.alias("v"),
-        ivf_cell(F.col(emb_col), n_cells, dim, seed, centroids=centroids).alias("cell"),
+    base = spread_scan(emb_df).select(
+        F.col(id_col).alias("vec_id"), v.alias("v"),
+        quantize_q(F.col(emb_col)).alias("_q"),
+    )
+    # fixed-point vector and norm are materialized ONCE per row; the cell
+    # assignment / probe ranking run as Arrow-vectorized int64 matmul
+    # batches (bit-exact — see ivf_cell_np_udf) instead of interpreted
+    # HOF folds; and the per-pair cosine divides by per-VECTOR norms
+    # computed below the join — identical doubles (same ops, same order),
+    # ~3× fewer dots, all codegen-flat (guide §1.2 / §4.2)
+    cents = centroids if centroids is not None else ivf_centroids(n_cells, dim, seed)
+    e = base.select(
+        "vec_id", "v",
+        ivf_cell_np_udf(cents)(F.col("_q")).alias("cell"),
+        F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)).alias("_n"),
     )
     q = (
-        emb_df.filter(query_filter)
+        base.filter(query_filter)
         .select(
-            F.col(id_col).alias("query_id"),
-            v.alias("qv"),
-            F.explode(
-                ivf_probe_cells(F.col(emb_col), n_cells, nprobe, dim, seed,
-                                centroids=centroids)
-            ).alias("cell"),
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)).alias("_qn"),
+            F.explode(ivf_probes_np_udf(cents, nprobe)(F.col("_q"))).alias("cell"),
         )
     )
     sims = (
@@ -304,7 +482,9 @@ def ivf_topk_batch(
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 3).alias("sim"),
+            F.round(
+                dot_flat(F.col("v"), F.col("qv"), dim) / (F.col("_n") * F.col("_qn")), 3
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "vec_id")
@@ -421,18 +601,32 @@ def ann_topk(
     buckets across ``len(seeds)`` independent hash tables (multi-table
     probing recovers recall a single unlucky table loses), broadcast the
     1-row query side."""
+    from warcbase_spark.functions.layout import spread_scan
+
     v = as_double(F.col(emb_col))
+    src = spread_scan(emb_df)
     if use_hyperplanes:
+        base = src.select(
+            F.col(id_col).alias("vec_id"), v.alias("v"),
+            quantize_q(F.col(emb_col)).alias("_q"),
+        )
         bkts = [
-            hyperplane_bucket(F.col(emb_col), n_bits, dim, s).alias(f"bkt{t}")
+            hyperplane_np_udf(n_bits, dim, s)(F.col("_q")).alias(f"bkt{t}")
             for t, s in enumerate(seeds)
         ]
+        e = base.select("vec_id", "v", *bkts)
     else:
-        bkts = [sign_bucket(v, n_bits).alias("bkt0")]
-    e = emb_df.select(F.col(id_col).alias("vec_id"), v.alias("v"), *bkts)
-    n_tables = len(bkts)
+        e = src.select(F.col(id_col).alias("vec_id"), v.alias("v"),
+                       sign_bucket(v, n_bits).alias("bkt0"))
+    n_tables = len(seeds) if use_hyperplanes else 1
+    # flat dot only on the hyperplane (fixed-``dim``) path; the legacy
+    # sign-bucket baseline accepts any vector width, so it keeps the
+    # length-adaptive HOF dot (dot_flat hard-indexes 1..dim)
+    _dot = (lambda a, b: dot_flat(a, b, dim)) if use_hyperplanes else dot
+    e = e.select("*", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("_n"))
     q = e.filter(F.col("vec_id") == query_id).select(
         F.col("v").alias("qv"),
+        F.col("_n").alias("qn"),
         *[F.col(f"bkt{t}").alias(f"qbkt{t}") for t in range(n_tables)],
     )
     cond = F.lit(False)
@@ -441,7 +635,12 @@ def ann_topk(
     return (
         e.join(F.broadcast(q), cond)
         .filter(F.col("vec_id") != query_id)
-        .select("vec_id", F.round(cosine(F.col("v"), F.col("qv")), 3).alias("sim"))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("v"), F.col("qv")) / (F.col("_n") * F.col("qn")), 3
+            ).alias("sim"),
+        )
         .orderBy(F.desc("sim"), "vec_id")
         .limit(k)
     )
@@ -487,16 +686,22 @@ def ivf_train_kmeans(
     longs here), the irreducible k-means driver state. The quantized
     vectors are localCheckpoint'ed once and reused across iterations.
     """
+    from warcbase_spark.functions.layout import spread_scan
+
     # cache, not localCheckpoint: quantize_q is a deterministic map (no
     # sampled boundaries), so eviction-recompute is harmless — and
     # DataFrame.unpersist actually frees cacheManager entries, while
     # localCheckpoint blocks would outlive the call (bench runs this
-    # repeatedly; leaked blocks = position-dependent GC pressure)
-    v = emb_df.select(quantize_q(F.col(emb_col)).alias("vi")).cache()
+    # repeatedly; leaked blocks = position-dependent GC pressure).
+    # spread_scan first: a single-rowgroup input would otherwise leave the
+    # cache (and every Lloyd iteration over it) on ONE partition/core.
+    v = spread_scan(emb_df).select(quantize_q(F.col(emb_col)).alias("vi")).cache()
     v.count()
     cents = [list(cv) for cv in ivf_centroids(n_cells, dim, seed)]
     for _ in range(iters):
-        assigned = v.select(_argmax_cell(_ivf_scores_q(F.col("vi"), cents)).alias("cell"), "vi")
+        # Arrow-vectorized int64 argmax (bit-exact, see ivf_cell_np_udf) —
+        # the interpreted HOF fold costs ~5 ms/row here, paid per iteration
+        assigned = v.select(ivf_cell_np_udf(cents)(F.col("vi")).alias("cell"), "vi")
         agg = (
             assigned.select("cell", F.posexplode("vi").alias("pos", "val"))
             .groupBy("cell", "pos")

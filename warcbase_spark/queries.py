@@ -56,8 +56,21 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Tables whose queries do heavy per-row expression work (tokenization,
+# hashing, quantized dot products). The driver writes each table as ONE
+# single-rowgroup parquet file, which scans as ONE task — spread_scan
+# repartitions those scans to the core count (and is a no-op on real
+# multi-file tables; guide §2.5 "input skew"). Join-/scan-bound tables
+# (lineitem, orders, ...) are left alone: an extra exchange of their full
+# width costs more than the narrow per-row work it would parallelize.
+_SPREAD_TABLES = {"documents", "embeddings", "events"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from warcbase_spark.functions.layout import spread_scan
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spread_scan(df) if name in _SPREAD_TABLES else df
 
 
 # ---------------------------------------------------------------------------
@@ -1529,15 +1542,13 @@ def ann_ivf_kmeans(spark, sf_dir):
     trained centroids align cells with the clusters — measured 0.57 → 1.00
     recall@5 at nprobe=1 on the planted-cluster fixture
     (tests/test_ann_recall.py)."""
-    from warcbase_spark.operators.similarity import ivf_cell, ivf_train_kmeans
+    from warcbase_spark.operators.similarity import ivf_cell_np_udf, ivf_train_kmeans, quantize_q
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = ivf_train_kmeans(emb, n_cells=16, iters=4, dim=_ANN_DIM, seed=13)
     return (
-        emb.select(
-            "vec_id",
-            ivf_cell(F.col("embedding"), 16, _ANN_DIM, 13, centroids=cents).alias("cell"),
-        )
+        emb.select("vec_id", quantize_q(F.col("embedding")).alias("_q"))
+        .select("vec_id", ivf_cell_np_udf(cents)(F.col("_q")).alias("cell"))
         .groupBy("cell")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
