@@ -56,14 +56,19 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-# Tables whose queries do heavy per-row expression work (tokenization,
-# hashing, quantized dot products). The driver writes each table as ONE
-# single-rowgroup parquet file, which scans as ONE task — spread_scan
-# repartitions those scans to the core count (and is a no-op on real
-# multi-file tables; guide §2.5 "input skew"). Join-/scan-bound tables
-# (lineitem, orders, ...) are left alone: an extra exchange of their full
-# width costs more than the narrow per-row work it would parallelize.
-_SPREAD_TABLES = {"documents", "embeddings", "events"}
+# Tables whose every consumer does heavy per-row vector math. The driver
+# writes each table as ONE single-rowgroup parquet file, which scans as ONE
+# task — spread_scan repartitions those scans to the core count (and is a
+# no-op on real multi-file tables; guide §2.5 "input skew").
+#
+# documents/events are deliberately NOT here: a blanket spread was A/B'd at
+# sf1.0 and LOST on the join-/iteration-shaped consumers (pagerank5 4.9s →
+# 7.4s, frontier_bfs3 8.0 → 10.6, events_sessions 1.1 → 1.7 — every
+# web_docs re-derivation pays the extra exchange) while winning only on the
+# expression-heavy ones — so those spread at the consumer instead
+# (doc_shingles, dedup_simhash, ner_entities, _tweet_lines,
+# repetition_stats' min_partitions).
+_SPREAD_TABLES = {"embeddings"}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1401,9 +1406,12 @@ def dedup_components(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash near-dup fingerprint; reports bucket stats +
     collision-pair count (hash-groupBy dedup at scale)."""
+    from warcbase_spark.functions.layout import spread_scan
     from warcbase_spark.operators.dedup import simhash16_col
 
-    d = _t(spark, sf_dir, "documents")
+    # spread: the 16-counter digest fold is pure per-row CPU — on the
+    # single-rowgroup scan it would all run in one task (guide §2.5)
+    d = spread_scan(_t(spark, sf_dir, "documents"))
     buckets = d.select(simhash16_col(F.col("text")).alias("simhash")).groupBy("simhash").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -2363,7 +2371,11 @@ END
 
 
 def _tweet_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    from warcbase_spark.functions.layout import spread_scan
+
+    # spread: JSON render + parse is per-row expression work on a
+    # single-rowgroup scan (guide §2.5; A/B'd 1.45s -> 0.81s at sf1.0)
+    d = spread_scan(_t(spark, sf_dir, "documents"))
     sid = F.col("doc_id").cast("string")
     mod7 = F.col("doc_id") % 7
     full = F.concat(
@@ -2427,9 +2439,12 @@ def ner_entities(spark, sf_dir):
     scala:62-65 per-partition init) with the pluggable gazetteer fallback
     classifier; counts per (type, entity). The oracle reimplements
     run-merging independently as a gaps-and-islands SQL query."""
+    from warcbase_spark.functions.layout import spread_scan
     from warcbase_spark.operators.ner import extract_entities
 
-    d = _t(spark, sf_dir, "documents")
+    # spread: the classifier mapInPandas otherwise receives the whole
+    # single-rowgroup scan as ONE partition — one Python worker (guide §2.5)
+    d = spread_scan(_t(spark, sf_dir, "documents"))
     ents = extract_entities(d.select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
     return ents.groupBy("entity_type", "entity").agg(F.count(F.lit(1)).alias("count"))
 
