@@ -85,6 +85,34 @@ def test_broadcast_gate_fallback_parity(spark):
         raise AssertionError(f"winner join still broadcast: {m.group(0)}")
 
 
+def test_broadcast_gate_shape_aware_high_ratio(spark):
+    """r06 shape-aware gate: past broadcast_row_limit, a HIGH winner/
+    candidate ratio (≥ BROADCAST_WINNER_RATIO) over CACHED candidates flips
+    the winner join back to broadcast (the shuffle path re-shuffles nearly
+    everything anyway — measured 2.3s vs 3.0-8.0s at 508k/700k), while a
+    low ratio or an un-cached input keeps the shuffle fallback. Outputs
+    must be identical either way (parity is pinned by
+    test_broadcast_gate_fallback_parity)."""
+    import re
+
+    pol_all = spark.createDataFrame([("*", 50)], "host string, budget int")
+
+    # cached + ratio 200/400 = 0.5 ≥ gate → broadcast despite limit=10
+    cand = _mk_candidates(spark, 400, hosts=4).cache()
+    cand.count()
+    sched_hi, _ = schedule_round(cand, pol_all, broadcast_row_limit=10)
+    plan_hi = sched_hi._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"BroadcastHashJoin \[url_key", plan_hi), "high-ratio winner join not broadcast"
+
+    # cached + ratio 40/400 = 0.1 < gate → stays shuffle
+    pol_low = spark.createDataFrame([("*", 10)], "host string, budget int")
+    sched_lo, _ = schedule_round(cand, pol_low, broadcast_row_limit=10)
+    plan_lo = sched_lo._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"BroadcastHashJoin \[url_key\S*", plan_lo):
+        raise AssertionError(f"low-ratio winner join still broadcast: {m.group(0)}")
+    cand.unpersist()
+
+
 def test_newline_urls_through_politeness_and_robots(spark):
     """'\\n'-bearing raw URLs (r2 canonicalizer fix) must keep flowing
     through the HOST-keyed joins: politeness budgets and robots rules match

@@ -121,6 +121,22 @@ def with_budgets(candidates: DataFrame, politeness: DataFrame) -> DataFrame:
 # shuffle beats the serial broadcast build — below ~100k rows.
 DEFAULT_BROADCAST_ROW_LIMIT = 100_000
 
+# Shape-aware second gate (r06, closing the VERDICT-r5 crossover finding):
+# the row limit alone mispredicts HIGH-SCHEDULABILITY rounds — when most
+# candidates are winners, the shuffle path re-shuffles nearly everything
+# anyway, so skipping the candidate shuffle wins even for large winner
+# sets. Measured on this box: 508k winners / 700k candidates (73%
+# schedulable, the bench shape) broadcast 2.25-2.8s vs shuffle 3.0-8.0s
+# best-of-3; the r5 Zipf stress measured broadcast 1.6× at 1.16M winners /
+# 70% schedulable; while 206k/4M and 827k/16M (≈5% schedulable) stay
+# shuffle wins. So: past the row limit, broadcast iff winners ≥
+# RATIO × candidates AND under the hard byte-safety cap. The ratio probe
+# needs a candidate count, which is only cheap when the caller has already
+# materialized the candidates — both the bench round and the crawl loop
+# cache them — so it runs only against a persisted input.
+BROADCAST_WINNER_RATIO = 0.5
+BROADCAST_HARD_CAP_ROWS = 4_000_000
+
 
 def schedule_round_combined(
     candidates: DataFrame,
@@ -216,6 +232,17 @@ def schedule_round(
     small = (n_winners is None and broadcast_row_limit > 0) or (
         n_winners is not None and n_winners <= broadcast_row_limit
     )
+    if (
+        not small
+        and n_winners is not None
+        and broadcast_row_limit > 0
+        and n_winners <= BROADCAST_HARD_CAP_ROWS
+        and candidates.storageLevel.useMemory
+    ):
+        # shape-aware gate (see BROADCAST_WINNER_RATIO above): the count is
+        # one cheap job over the caller's candidate cache
+        n_cand = candidates.count()
+        small = n_cand > 0 and n_winners >= BROADCAST_WINNER_RATIO * n_cand
     # fallback pins shuffle_hash (not just "no broadcast hint"): the
     # planner's size estimate of the cached winner set could still choose a
     # broadcast that the gate just ruled out, and hash beats sort-merge when
