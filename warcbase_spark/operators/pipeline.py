@@ -471,6 +471,7 @@ def training_pipeline(
     bucketed LSH with hot-bucket guard, fixed-iteration label propagation,
     two-level prefix sums — no single-task window, no data collect.
     """
+    from warcbase_spark.functions.layout import spread_scan
     from warcbase_spark.operators.components import connected_components
     from warcbase_spark.operators.dedup import (
         doc_shingles,
@@ -479,6 +480,12 @@ def training_pipeline(
         verified_jaccard,
     )
 
+    # spread the corpus scan once at pipeline entry: decontaminate's
+    # n-gram explode otherwise runs on the raw scan's partitioning — ONE
+    # task for a single-rowgroup parquet input (guide §2.5; decontaminate
+    # alone measured 7.8s of the 6.5s query at sf1.0). Everything
+    # downstream derives the widened partitioning.
+    docs = spread_scan(docs)
     is_eval = (F.col("doc_id") % eval_mod) == 0
     kept = docs.where(weighted_keep(F.col("source"), F.col("doc_id")) & ~is_eval)
     eval_df = docs.where(is_eval)

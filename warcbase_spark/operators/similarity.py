@@ -41,21 +41,6 @@ def dot(a, b) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
 
 
-def dot_flat(a, b, dim: int) -> Column:
-    """Fixed-width dot product as a FLAT expression tree — bit-identical to
-    ``dot`` (same left-associative fold order: 0.0 + p1 + ... + p_dim over
-    double), but codegen-compiled instead of interpreted: higher-order
-    functions (aggregate/zip_with) are CodegenFallback in Spark, so ``dot``
-    allocates a zipped array and evaluates an interpreted lambda per
-    element per row — measured ~50× slower per pair on the 64-dim
-    candidate joins (guide §1.2 "per-task work"). Requires both arrays to
-    have exactly ``dim`` elements (every embedding here does)."""
-    s: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        s = s + F.element_at(a, i) * F.element_at(b, i)
-    return s
-
-
 def cosine(a, b) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
@@ -102,9 +87,10 @@ def hyperplane_bucket_q(q, n_bits: int = 8, dim: int = 64, seed: int = 7) -> Col
     n_bits×dim expression tree exceeds janino's 64 KB method limit
     ("Code grows beyond 64 KB"), and Spark's fallback — a failed multi-
     second compile attempt plus interpreted evaluation of the giant tree —
-    measured strictly slower than the fold. These run once per VECTOR row
-    (not per pair), so interpreted cost is bounded; per-PAIR kernels use
-    ``dot_flat`` which is small enough to compile."""
+    measured strictly slower than the fold, whose per-element loop runs
+    natively over the array. (A flat 64-term tree was also A/B'd for the
+    per-pair cosine and LOST 7.2s vs 2.9s on 2M pairs — folds win in this
+    engine's evaluation mode across the board.)"""
     out = F.lit(0)
     for i, signs in enumerate(hyperplane_signs(n_bits, dim, seed)):
         sv = F.array(*[F.lit(s) for s in signs])
@@ -181,9 +167,8 @@ def bucketed_neighbors(
     r06 shape (result-identical): the scan is spread (single-rowgroup
     parquet = one task), the fixed-point vector is materialized ONCE per
     row for the bucket bits (not re-quantized per bit), the vector norm
-    is computed once per VECTOR below the join instead of once per pair,
-    and all dots are flat codegen sums (``dot_flat`` — same fold order,
-    bit-identical doubles)."""
+    is computed once per VECTOR below the join instead of once per pair
+    (identical doubles — same ops, same order)."""
     from warcbase_spark.functions.layout import spread_scan
 
     v = as_double(F.col(emb_col))
@@ -198,7 +183,7 @@ def bucketed_neighbors(
         )
     else:
         e = src.select(F.col(id_col).alias("id"), v.alias("v"), sign_bucket(v, n_bits).alias("bkt"))
-    e = e.select("id", "v", "bkt", F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)).alias("_n"))
+    e = e.select("id", "v", "bkt", F.sqrt(dot(F.col("v"), F.col("v"))).alias("_n"))
     e = _drop_hot_buckets(e, bucket_cap)
     a = e.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("_n").alias("na"), "bkt")
     b = e.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("_n").alias("nb"), "bkt")
@@ -208,7 +193,7 @@ def bucketed_neighbors(
         .select(
             "a", "b",
             F.round(
-                dot_flat(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 3
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 3
             ).alias("sim"),
         )
     )
@@ -236,8 +221,8 @@ def _ivf_scores_q(q, cents: list[list[int]]) -> list[Column]:
     centroid literal. Kept as aggregate(zip_with) folds: a flat
     n_cells×dim expression tree blows janino's 64 KB method limit and the
     failed-compile-plus-interpreted fallback is slower than the fold (see
-    hyperplane_bucket_q). Assignment runs once per VECTOR row; per-PAIR
-    cosines use the compilable ``dot_flat``."""
+    hyperplane_bucket_q). Hot assignment paths use the Arrow-vectorized
+    ``ivf_cell_np_udf`` instead; this stays the portable Column form."""
     out = []
     for cv in cents:
         sv = F.array(*[F.lit(s) for s in cv])
@@ -370,7 +355,7 @@ def ivf_topk(
     e = base.select(
         "vec_id", "v",
         ivf_cell_q(F.col("_q"), n_cells, dim, seed).alias("cell"),
-        F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)).alias("_n"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("_n"),
     )
     qscores = (
         emb_df.filter(F.col(id_col) == query_id)
@@ -387,7 +372,7 @@ def ivf_topk(
         .select(
             "vec_id",
             F.round(
-                dot_flat(F.col("v"), F.col("qv"), dim) / (F.col("_n") * F.col("qn")), 3
+                dot(F.col("v"), F.col("qv")) / (F.col("_n") * F.col("qn")), 3
             ).alias("sim"),
         )
         .orderBy(F.desc("sim"), "vec_id")
@@ -461,29 +446,34 @@ def ivf_topk_batch(
     # batches (bit-exact — see ivf_cell_np_udf) instead of interpreted
     # HOF folds; and the per-pair cosine divides by per-VECTOR norms
     # computed below the join — identical doubles (same ops, same order),
-    # ~3× fewer dots, all codegen-flat (guide §1.2 / §4.2)
+    # ~3× fewer dots per pair (guide §1.2 / §4.2)
     cents = centroids if centroids is not None else ivf_centroids(n_cells, dim, seed)
     e = base.select(
         "vec_id", "v",
         ivf_cell_np_udf(cents)(F.col("_q")).alias("cell"),
-        F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)).alias("_n"),
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("_n"),
     )
     q = (
         base.filter(query_filter)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
-            F.sqrt(dot_flat(F.col("v"), F.col("v"), dim)).alias("_qn"),
+            F.sqrt(dot(F.col("v"), F.col("v"))).alias("_qn"),
             F.explode(ivf_probes_np_udf(cents, nprobe)(F.col("_q"))).alias("cell"),
         )
     )
+    # broadcast hint: the query side is queries × nprobe rows (tiny for
+    # batch lookups), but it sits behind an ArrowEvalPython whose size the
+    # planner cannot estimate — without the hint the join can fall back to
+    # a 16-key shuffle (one task per probed cell). Corpus-vs-corpus callers
+    # with huge query sets should pre-aggregate or shard the query side.
     sims = (
-        e.join(q, "cell")
+        e.join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id", "vec_id",
             F.round(
-                dot_flat(F.col("v"), F.col("qv"), dim) / (F.col("_n") * F.col("_qn")), 3
+                dot(F.col("v"), F.col("qv")) / (F.col("_n") * F.col("_qn")), 3
             ).alias("sim"),
         )
     )
@@ -619,11 +609,7 @@ def ann_topk(
         e = src.select(F.col(id_col).alias("vec_id"), v.alias("v"),
                        sign_bucket(v, n_bits).alias("bkt0"))
     n_tables = len(seeds) if use_hyperplanes else 1
-    # flat dot only on the hyperplane (fixed-``dim``) path; the legacy
-    # sign-bucket baseline accepts any vector width, so it keeps the
-    # length-adaptive HOF dot (dot_flat hard-indexes 1..dim)
-    _dot = (lambda a, b: dot_flat(a, b, dim)) if use_hyperplanes else dot
-    e = e.select("*", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("_n"))
+    e = e.select("*", F.sqrt(dot(F.col("v"), F.col("v"))).alias("_n"))
     q = e.filter(F.col("vec_id") == query_id).select(
         F.col("v").alias("qv"),
         F.col("_n").alias("qn"),
@@ -638,7 +624,7 @@ def ann_topk(
         .select(
             "vec_id",
             F.round(
-                _dot(F.col("v"), F.col("qv")) / (F.col("_n") * F.col("qn")), 3
+                dot(F.col("v"), F.col("qv")) / (F.col("_n") * F.col("qn")), 3
             ).alias("sim"),
         )
         .orderBy(F.desc("sim"), "vec_id")
