@@ -56,22 +56,23 @@ def main() -> None:
         fn = bench_mod.BENCH_ONLY.get(name) or QUERIES[name]
         spark.sparkContext.setJobDescription(f"bench_extra:{name}")
         samples = []
-        for _ in range(max(1, args.repeat)):
+        for rep in range(max(1, args.repeat)):
             t0 = time.monotonic()
             df = fn(spark, args.sf)
             df.write.mode("overwrite").format("noop").save()
             samples.append(round(time.monotonic() - t0, 3))
+            # dump the executed plan BEFORE clearing caches, or cached
+            # relations render as recomputed subtrees in the explain
+            if args.plans_dir and rep == max(1, args.repeat) - 1:
+                os.makedirs(args.plans_dir, exist_ok=True)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+                with open(os.path.join(args.plans_dir, f"{name}_{args.suffix}.txt"), "w") as f:
+                    f.write(buf.getvalue())
             spark.catalog.clearCache()
         timings[name] = min(samples)
         print(json.dumps({"query": name, "best": min(samples), "samples": samples}), flush=True)
-        if args.plans_dir:
-            os.makedirs(args.plans_dir, exist_ok=True)
-            buf = io.StringIO()
-            with contextlib.redirect_stdout(buf):
-                df.explain("formatted")
-            with open(os.path.join(args.plans_dir, f"{name}_{args.suffix}.txt"), "w") as f:
-                f.write(buf.getvalue())
-            spark.catalog.clearCache()
         spark.sparkContext.setJobDescription(None)
     print(json.dumps({"sf_dir": args.sf, "cpus": cpus, "timings": timings}))
 

@@ -231,6 +231,7 @@ def verified_jaccard(
     sh: DataFrame,
     min_inter: int = 3,
     broadcast_shingle_limit: int = VERIFY_BROADCAST_SHINGLE_LIMIT,
+    cache_registry: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard evidence for candidate pairs, integer-only:
     (a, b, inter, union_sz) with inter >= min_inter.
@@ -255,9 +256,17 @@ def verified_jaccard(
     cheaper than the exploded form). The gate's count is one job over the
     (caller-cached) shingle table.
     """
+    # cached: the a-leg and b-leg joins are two references, and the two
+    # (renamed) broadcast builds do not canonicalize to one reusable
+    # exchange — without the cache the collect_list aggregate over the
+    # shingle table runs twice (executed-plan-verified). Same release-hook
+    # pattern as lsh_candidate_pairs; bench repeats are isolated by
+    # clearCache.
     arr = sh.groupBy("doc").agg(
         F.collect_list("sh").alias("_arr"), F.count(F.lit(1)).alias("_n")
-    )
+    ).cache()
+    if cache_registry is not None:
+        cache_registry.append(arr)
     n_shingles = sh.agg(F.count(F.lit(1)).alias("c")).collect()[0]["c"]
     if n_shingles <= broadcast_shingle_limit:
         arr = F.broadcast(arr)

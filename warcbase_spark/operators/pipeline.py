@@ -513,7 +513,7 @@ def training_pipeline(
         cache_registry.extend([s2, sh])
     sigs = minhash_signatures(sh, 8, hash_mode=minhash_hash_mode)
     pairs = lsh_candidate_pairs(sigs, 8, bucket_cap=200, cache_registry=cache_registry)
-    vp = verified_jaccard(pairs, sh, min_inter=3).select("a", "b")
+    vp = verified_jaccard(pairs, sh, min_inter=3, cache_registry=cache_registry).select("a", "b")
     labels = connected_components(vp, iters=cc_iters)
     near_dups = labels.where(F.col("label") < F.col("node")).select(
         F.col("node").alias("doc_id")

@@ -1654,7 +1654,11 @@ def pagerank_tol(spark, sf_dir):
     arithmetic so the DuckDB unrolled oracle matches bit-for-bit), capped
     at _PR_MAX_ITERS. Each iteration is localCheckpoint'ed so analysis time
     stays linear in rounds."""
-    docs = web_docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    # docs cached alongside edges: every iteration's plan re-derives the
+    # vertex set otherwise (scan+project per level — 6 evaluations for a
+    # 5-iteration run); 50k-row cache, dropped with the session/bench
+    # clearCache like the edge cache
+    docs = web_docs(spark, sf_dir).select(F.col("doc_id").alias("id")).cache()
     edges = web_links(spark, sf_dir).select("src_id", "dst_id").distinct().cache()
     outd = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("od"))
     n = docs.count()
@@ -1684,6 +1688,7 @@ def pagerank_tol(spark, sf_dir):
             it = i
             break
     edges.unpersist()
+    docs.unpersist()
     return ranks.select(
         "id", F.col("r").alias("rank_fp"), F.lit(it).cast("int").alias("iters")
     )
@@ -1759,7 +1764,7 @@ def pagerank_pregel(spark, sf_dir):
     sum, and vertex state is a localCheckpoint'ed (id, rank, delta,
     active) frame. Integer fixed-point throughout, so the unrolled DuckDB
     oracle matches bit-for-bit including the quiescence superstep."""
-    docs = web_docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    docs = web_docs(spark, sf_dir).select(F.col("doc_id").alias("id")).cache()
     edges = web_links(spark, sf_dir).select("src_id", "dst_id").distinct().cache()
     outd = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("od"))
     state = docs.select(
@@ -1802,6 +1807,7 @@ def pagerank_pregel(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     edges.unpersist()
+    docs.unpersist()
     return state.select(
         "id", F.col("r").alias("rank_fp"), F.lit(it).cast("int").alias("iters")
     )
@@ -1813,7 +1819,11 @@ def pagerank5(spark, sf_dir):
     loop — 5 static iterations, damping 0.85, fixed-point integer arithmetic
     (contributions integer-divided before the sum) so the result is
     aggregation-order-independent and bit-identical to the DuckDB oracle."""
-    docs = web_docs(spark, sf_dir).select(F.col("doc_id").alias("id"))
+    # docs cached alongside edges: every iteration's plan re-derives the
+    # vertex set otherwise (scan+project per level — 6 evaluations for a
+    # 5-iteration run); 50k-row cache, dropped with the session/bench
+    # clearCache like the edge cache
+    docs = web_docs(spark, sf_dir).select(F.col("doc_id").alias("id")).cache()
     edges = web_links(spark, sf_dir).select("src_id", "dst_id").distinct().cache()
     outd = edges.groupBy("src_id").agg(F.count(F.lit(1)).alias("od"))
     n = docs.count()
