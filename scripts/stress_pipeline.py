@@ -127,7 +127,8 @@ def main() -> None:
     reg = []
     t0 = time.monotonic()
     e2e = training_pipeline(
-        wide, eval_mod=97, ctx_len=2048, bucket_width=8192, cache_registry=reg
+        wide, eval_mod=97, ctx_len=2048, bucket_width=8192, cache_registry=reg,
+        minhash_hash_mode="md5",  # oracle-portable mode, explicit since the engine default is 'fast'
     ).collect()
     out["e2e_sec"] = round(time.monotonic() - t0, 2)
     out["e2e_sources"] = len(e2e)

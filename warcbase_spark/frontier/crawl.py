@@ -653,6 +653,10 @@ class FrontierCrawl:
             import shutil as _shutil
 
             _shutil.rmtree(self._seen_bucketed_path, ignore_errors=True)
+            # also drop the in-session catalog entry: a registered table
+            # pointing at a deleted location errors/misleads later
+            # same-session spark.table()/tableExists calls
+            spark.sql(f"DROP TABLE IF EXISTS {self._seen_table}")
         self._commit(
             rnd,
             n_frontier,

@@ -281,7 +281,12 @@ def add_global_cumsum(
             "_off",
             F.coalesce(
                 F.sum("_btot").over(
-                    Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+                    # partitionBy(lit(0)): same single-partition plan over
+                    # the tiny offset table, but no "No Partition Defined
+                    # for Window" warning — that warning is the signature
+                    # of the bug class this engine eliminated, and spraying
+                    # it from a documented-tiny window cries wolf
+                    Window.partitionBy(F.lit(0)).orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ).cast("long"),
@@ -423,7 +428,11 @@ def global_shuffle(
         .withColumn(
             "_off",
             F.coalesce(
-                F.sum("_bn").over(Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)),
+                F.sum("_bn").over(
+                    # lit(0) partition: silence the benign single-partition
+                    # warning on this documented-tiny offset table
+                    Window.partitionBy(F.lit(0)).orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+                ),
                 F.lit(0),
             ).cast("long"),
         )
@@ -447,7 +456,7 @@ def training_pipeline(
     ctx_len: int = 128,
     bucket_width: int = 1 << 16,
     cc_iters: int = 8,
-    minhash_hash_mode: str = "md5",
+    minhash_hash_mode: str = "fast",
     cache_registry: "list[DataFrame] | None" = None,
 ) -> DataFrame:
     """The full pretraining-data pipeline as ONE composed plan — the way a
@@ -461,6 +470,12 @@ def training_pipeline(
     Emits one row per source: surviving docs, token mass, pack-span rows,
     and the shuffle-position checksum (sum of the survivors' permutation
     positions — any divergence in ANY upstream stage changes it).
+
+    ``minhash_hash_mode`` defaults to the ``'fast'`` xxhash64 kernel — the
+    engine/production mode (r5-measured 2.6× over md5 at 1M docs,
+    bit-identical pipeline output on the stress corpus); oracle-checked
+    callers (the pipeline_e2e query) pass ``'md5'`` explicitly so the
+    DuckDB twin hashes identically.
 
     Composition is the surface this function exists to test: every stage
     is green in isolation; chaining them exercises column contracts,

@@ -156,7 +156,12 @@ def assert_one_file_per_bucket(spark, table: str) -> None:
     # partitioned+bucketed layout keeps them under pbucket=N/ dirs (where
     # pbucket == the bucket hash, so each bucket id still appears exactly
     # once table-wide when the invariant holds)
-    for dirpath, _dirs, files in os.walk(path):
+    for dirpath, dirs, files in os.walk(path):
+        # prune hidden/staging dirs (.spark-staging-*, _temporary): part-
+        # files abandoned by a crashed overwrite job are NOT table data —
+        # counting them would make the guard refuse a valid table forever
+        # (Spark/Hive's invisible-path convention)
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
         for fname in files:
             if not fname.startswith("part-"):
                 continue  # _SUCCESS, checksums, ...

@@ -3026,8 +3026,12 @@ def pipeline_e2e(spark, sf_dir):
     round-trips)."""
     from warcbase_spark.operators.pipeline import training_pipeline
 
+    # md5 pinned explicitly: this is the ORACLE-portability mode (the
+    # DuckDB twin hashes with md5); training_pipeline's engine default is
+    # the fast xxhash64 kernel (r5-measured 2.6x at 1M docs)
     return training_pipeline(
-        _t(spark, sf_dir, "documents"), eval_mod=37, ctx_len=128, bucket_width=64
+        _t(spark, sf_dir, "documents"), eval_mod=37, ctx_len=128, bucket_width=64,
+        minhash_hash_mode="md5",
     )
 
 
