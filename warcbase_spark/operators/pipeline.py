@@ -220,7 +220,12 @@ def decontaminate(
     else:
         # the gate needs a count and the join needs the same rows — persist
         # so the eval-side explode+distinct runs ONCE, not once per use
-        eval_grams = eval_grams.localCheckpoint(eager=False)
+        # cache, not localCheckpoint (r06, closes the ADVICE-r5 leak):
+        # the gram build is a deterministic transform (no sampled
+        # boundaries), so eviction-recompute is harmless — and cache
+        # blocks are released by unpersist/clearCache, while checkpoint
+        # blocks outlive the call and accumulate across bench repeats
+        eval_grams = eval_grams.cache()
         if cache_registry is not None:
             cache_registry.append(eval_grams)
         n_eval = eval_grams.count()
@@ -517,7 +522,11 @@ def training_pipeline(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    s2 = s1.join(keep_exact, "doc_id", "left_semi").localCheckpoint(eager=False)
+    # cache, not localCheckpoint (same ADVICE-r5 leak rationale as
+    # eval_grams above): mix→decontam→exact-dedup is deterministic and the
+    # lineage is shallow, so the truncation was only buying block
+    # persistence — which cache provides releasably
+    s2 = s1.join(keep_exact, "doc_id", "left_semi").cache()
 
     sh = doc_shingles(s2).cache()  # read twice: signatures + jaccard verify
     if cache_registry is not None:
